@@ -1,0 +1,43 @@
+"""kbo-tpu: a TPU-native k-bounded matching statistics engine.
+
+A from-scratch reimplementation of the capabilities of `kbo`
+(https://github.com/tmaklin/kbo, reference mounted at /root/reference) designed
+for TPU hardware: the SBWT index lives in device memory as packed rank
+bitvectors, and matching statistics are computed position-parallel (no
+sequential streaming scan) so that throughput scales with batch size and HBM
+bandwidth instead of scan-step latency.
+
+Public API mirrors the reference's top level (reference: src/lib.rs:501-821):
+
+- :func:`build`   -- build an SBWT index + LCS array from sequences.
+- :func:`matches` -- translated alignment of a query against an index.
+- :func:`find`    -- local alignment segments (run-length encodings).
+- :func:`map_`    -- query painted onto reference coordinates (``kbo map``).
+- :func:`call`    -- variant calling between query index and reference seq.
+
+Option dataclasses (:class:`BuildOpts`, :class:`MatchOpts`, :class:`FindOpts`,
+:class:`MapOpts`, :class:`CallOpts`) mirror the reference defaults
+(reference: src/lib.rs:255-466).
+"""
+
+from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts, MatchOpts
+from kbo_tpu.api import build, call, find, map_, matches
+from kbo_tpu.refine.variant_calling import Variant
+from kbo_tpu.ops.format import RLE
+
+__all__ = [
+    "BuildOpts",
+    "CallOpts",
+    "FindOpts",
+    "MapOpts",
+    "MatchOpts",
+    "RLE",
+    "Variant",
+    "build",
+    "call",
+    "find",
+    "map_",
+    "matches",
+]
+
+__version__ = "0.1.0"

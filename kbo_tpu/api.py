@@ -1,0 +1,121 @@
+"""Top-level pipeline API, mirroring the reference's five operations.
+
+reference: src/lib.rs:501-506 build, :547-573 call, :612-628 matches,
+:720-761 map, :808-821 find.
+
+Unlike the reference, the LCS array lives inside :class:`SbwtIndex` (it is an
+index-format component; the position-parallel MS engine does not need it at
+query time), so these functions take the index alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kbo_tpu.index.build import build_sbwt_from_seqs
+from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.index.sbwt import SbwtIndex
+from kbo_tpu.ops import derandomize, format as fmt, ms as ms_ops, translate
+from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts, MatchOpts
+from kbo_tpu.refine import gap_filling, variant_calling
+
+
+def build(seq_data, build_opts: BuildOpts | None = None) -> SbwtIndex:
+    """Build an SBWT index (+ LCS) from sequences (reference: src/lib.rs:501-506).
+
+    All sequences merge into one index; individual inputs are not recoverable
+    afterwards (reference: src/lib.rs:477-480).
+    """
+    return build_sbwt_from_seqs(seq_data, build_opts or BuildOpts())
+
+
+def matches(
+    query_seq: bytes, sbwt: SbwtIndex, match_opts: MatchOpts | None = None
+) -> list[str]:
+    """Translated alignment characters of a query against an index
+    (reference: src/lib.rs:612-628)."""
+    opts = match_opts or MatchOpts()
+    k = sbwt.k
+    threshold = derandomize.random_match_threshold(
+        k, sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    noisy_ms, _ = ms_ops.query_ms_codes(sbwt, encode_ascii(bytes(query_seq)))
+    derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
+    return translate.translate_ms_vec(derand_ms, k, threshold)
+
+
+def find(
+    query_seq: bytes, sbwt: SbwtIndex, find_opts: FindOpts | None = None
+) -> list[fmt.RLE]:
+    """Local alignment segments of a query within the index
+    (reference: src/lib.rs:808-821)."""
+    opts = find_opts or FindOpts()
+    aln = matches(query_seq, sbwt, MatchOpts(max_error_prob=opts.max_error_prob))
+    if opts.max_gap_len > 0:
+        return fmt.run_lengths_gapped(aln, opts.max_gap_len)
+    return fmt.run_lengths(aln)
+
+
+def call(
+    sbwt_query: SbwtIndex, ref_seq: bytes, call_opts: CallOpts | None = None
+) -> list[variant_calling.Variant]:
+    """Call variants between a query index and a reference sequence
+    (reference: src/lib.rs:547-573).
+
+    Note the argument inversion mirrored from the reference: inside
+    ``call_variants`` the roles swap -- the "reference index" slot receives
+    the user's QUERY index and the streamed "query" is the user's REFERENCE
+    sequence, so ``Variant.query_pos`` is a position in the user's reference,
+    matching VCF POS semantics (reference: src/lib.rs:561-568).
+    """
+    opts = call_opts or CallOpts()
+    sbwt_ref = build([bytes(ref_seq)], opts.sbwt_build_opts)
+    assert sbwt_ref.k == sbwt_query.k
+    return variant_calling.call_variants(
+        sbwt_query,  # -> call_variants' sbwt_ref slot
+        sbwt_ref,  # -> call_variants' sbwt_query slot
+        bytes(ref_seq),
+        opts.max_error_prob,
+    )
+
+
+def map_(
+    ref_seq: bytes, query_sbwt: SbwtIndex, map_opts: MapOpts | None = None
+) -> bytes:
+    """Map a query (as an index) onto reference coordinates
+    (reference: src/lib.rs:720-761). Role inversion: the QUERY is indexed and
+    the REFERENCE sequence is streamed through it."""
+    opts = map_opts or MapOpts()
+    ref_seq = bytes(ref_seq)
+    k = query_sbwt.k
+    if opts.call_variants:
+        assert k == opts.sbwt_build_opts.k
+    threshold = derandomize.random_match_threshold(
+        k, query_sbwt.n_kmers, 4, opts.max_error_prob
+    )
+
+    noisy_ms, ivals = ms_ops.query_ms_codes(query_sbwt, encode_ascii(ref_seq))
+    derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
+    translation = translate.translate_ms_vec(derand_ms, k, threshold)
+
+    if opts.fill_gaps:
+        refined = gap_filling.fill_gaps(
+            translation, noisy_ms, ivals, ref_seq, query_sbwt, threshold,
+            opts.max_error_prob,
+        )
+    else:
+        refined = translation
+
+    if opts.call_variants:
+        call_opts = CallOpts(
+            max_error_prob=opts.max_error_prob,
+            sbwt_build_opts=opts.sbwt_build_opts,
+        )
+        variants = call(query_sbwt, ref_seq, call_opts)
+        with_variants = translate.add_variants(refined, variants)
+    else:
+        with_variants = refined
+
+    if opts.format:
+        return fmt.relative_to_ref(ref_seq, with_variants)
+    return "".join(with_variants).encode("latin-1")

@@ -1,0 +1,148 @@
+"""SBWT construction (host, vectorized numpy).
+
+Construction is a preprocessing step in the reference as well (it forwards to
+the sbwt crate's bit-packed k-mer sorting, reference: src/index.rs:56-99); we
+build with vectorized numpy: windows -> colex lexsort -> dedup -> subset
+matrix + rank tables + LCS. A device (jax.lax.sort) construction path can be
+added behind the same interface for the `call()` hot path.
+
+Row-set semantics (pinned by the golden MS vector, reference:
+src/index.rs:224-241): rows are the distinct length-k windows of
+``$^k + segment`` over every maximal ACGT run of every input sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kbo_tpu.index.encode import encode_ascii, revcomp_ascii, split_segments
+from kbo_tpu.index.sbwt import N_BASES, SbwtIndex
+from kbo_tpu.opts import BuildOpts
+
+try:  # numpy >= 2.0
+    _popcount32 = np.bitwise_count
+except AttributeError:  # pragma: no cover - fallback for old numpy
+    _LUT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def _popcount32(words):
+        w = words.astype(np.uint32)
+        return _LUT16[w & 0xFFFF].astype(np.int32) + _LUT16[w >> 16]
+
+
+def _window_matrix(segments: list[np.ndarray], k: int) -> np.ndarray:
+    """All length-k windows of $^k + segment, stacked. uint8 [n, k]."""
+    parts = []
+    for seg in segments:
+        padded = np.concatenate([np.zeros(k, dtype=np.uint8), seg])
+        win = np.lib.stride_tricks.sliding_window_view(padded, k)
+        parts.append(win[: seg.size + 1])
+    return np.ascontiguousarray(np.concatenate(parts, axis=0))
+
+
+def _colex_sort_dedup(rows: np.ndarray) -> np.ndarray:
+    """Colex sort rows (primary key = last column) and drop duplicates."""
+    k = rows.shape[1]
+    order = np.lexsort(tuple(rows[:, j] for j in range(k)))
+    rows = rows[order]
+    if rows.shape[0] > 1:
+        keep = np.empty(rows.shape[0], dtype=bool)
+        keep[0] = True
+        np.any(rows[1:] != rows[:-1], axis=1, out=keep[1:])
+        rows = rows[keep]
+    return rows
+
+
+def _lcs_array(rows: np.ndarray) -> np.ndarray:
+    """lcs[i] = longest common suffix length of rows i-1 and i."""
+    n, k = rows.shape
+    lcs = np.zeros(n, dtype=np.uint8)
+    if n > 1:
+        eq_rev = rows[1:, ::-1] == rows[:-1, ::-1]
+        # rows are distinct, so argmin (first False) is well defined
+        lcs[1:] = np.argmin(eq_rev, axis=1)
+    return lcs
+
+
+def _rank_strings(strings: np.ndarray) -> np.ndarray:
+    """Dense colex ranks of (k-1)-length code strings."""
+    m, w = strings.shape
+    if w == 0:
+        return np.zeros(m, dtype=np.int64)
+    order = np.lexsort(tuple(strings[:, j] for j in range(w)))
+    s = strings[order]
+    new_group = np.ones(m, dtype=np.int64)
+    if m > 1:
+        new_group[1:] = np.any(s[1:] != s[:-1], axis=1)
+    ranks_sorted = np.cumsum(new_group) - 1
+    ranks = np.empty(m, dtype=np.int64)
+    ranks[order] = ranks_sorted
+    return ranks
+
+
+def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
+    """Core construction from pre-encoded valid segments."""
+    assert segments, "cannot build an index from empty input"
+    assert 1 < k < 256, "k must be in (1, 256)"
+    rows = _colex_sort_dedup(_window_matrix(segments, k))
+    n = rows.shape[0]
+    lcs = _lcs_array(rows)
+    n_kmers = int(np.count_nonzero(rows[:, 0] != 0))
+
+    # C array from last-character boundaries (last column is non-decreasing).
+    last = rows[:, -1]
+    C = np.searchsorted(last, np.arange(1, N_BASES + 1)).astype(np.int32)
+
+    # Incoming edge of every non-root row y = (prefix y[:k-1], char y[k-1]):
+    # set bit `char` on the colex-smallest row whose (k-1)-suffix equals the
+    # prefix. Match via dense ranks over the union of suffixes and prefixes.
+    union = np.concatenate([rows[:, 1:], rows[:, :-1]], axis=0)
+    ranks = _rank_strings(union)
+    r_suffix, r_prefix = ranks[:n], ranks[n:]
+    # r_suffix is non-decreasing along colex row order.
+    y = np.arange(1, n)  # row 0 is the all-$ root: no incoming edge
+    pred = np.searchsorted(r_suffix, r_prefix[y])
+    if not np.all(r_suffix[pred] == r_prefix[y]):
+        raise AssertionError("every non-root row must have a predecessor")
+    edge_char = last[y]  # 1..4
+
+    n_words = (n + 31) // 32
+    bits = np.zeros((N_BASES, n_words), dtype=np.uint32)
+    for b in range(N_BASES):
+        sel = pred[edge_char == b + 1]
+        np.bitwise_or.at(
+            bits[b], sel >> 5, (np.uint32(1) << (sel & 31).astype(np.uint32))
+        )
+    pc = _popcount32(bits).astype(np.int64)
+    cum = np.zeros((N_BASES, n_words), dtype=np.int64)
+    cum[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
+    assert cum.max(initial=0) < 2**31
+    return SbwtIndex(
+        k=k,
+        n_rows=n,
+        n_kmers=n_kmers,
+        bits=bits,
+        cum=cum.astype(np.int32),
+        C=C,
+        lcs=lcs,
+    )
+
+
+def build_sbwt_from_seqs(seqs, opts: BuildOpts | None = None) -> SbwtIndex:
+    """Build an SBWT index from ASCII sequences.
+
+    Mirrors ``build_sbwt_from_vecs`` (reference: src/index.rs:56-99): all
+    sequences are merged into one index; non-ACGT characters break sequences
+    into independent segments; ``add_revcomp`` also indexes reverse
+    complements.
+    """
+    opts = opts or BuildOpts()
+    segments: list[np.ndarray] = []
+    for seq in seqs:
+        if isinstance(seq, str):
+            seq = seq.encode()
+        elif isinstance(seq, np.ndarray):
+            seq = seq.tobytes()
+        segments.extend(split_segments(encode_ascii(seq)))
+        if opts.add_revcomp:
+            segments.extend(split_segments(encode_ascii(revcomp_ascii(seq))))
+    return build_index_from_segments(segments, opts.k)

@@ -1,0 +1,154 @@
+"""The SBWT index data structure (subset-matrix representation).
+
+Layout is designed for TPU rank queries: per base, the bitvector is stored as
+32-bit words interleaved with an exclusive popcount prefix so that a single
+8-byte gather answers one rank query. The same arrays serve the host (numpy)
+reference path and the device (JAX) batched path.
+
+Semantics mirror the sbwt crate as consumed by the reference
+(reference: src/index.rs:22-25, src/variant_calling.rs:4):
+
+- Rows are the distinct length-k windows of ``$^k + segment`` for every
+  maximal ACGT run of every input sequence, colex-sorted with ``$`` smallest.
+- Row i's subset contains base c iff row i is the colex-smallest row with its
+  (k-1)-suffix and ``suffix + c`` is also a row; every non-root row therefore
+  has exactly one incoming edge.
+- ``C[c]`` = number of rows whose last character sorts before c
+  (row 0 is the all-$ root, the only row ending in '$').
+- Pattern search extends right: interval [l, r) for P becomes
+  ``[C[c] + rank_c(l), C[c] + rank_c(r))`` for P + c.
+- ``lcs[i]`` = longest common suffix of rows i-1 and i (lcs[0] = 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from kbo_tpu.index.encode import DOLLAR, decode_codes
+
+N_BASES = 4  # A, C, G, T (codes 1..4; bitvector index = code - 1)
+
+
+@dataclasses.dataclass
+class SbwtIndex:
+    """Subset-matrix SBWT with rank support and LCS array."""
+
+    k: int
+    n_rows: int
+    n_kmers: int
+    #: uint32 [4, n_words]; bit j of word w covers row w*32+j (base order ACGT)
+    bits: np.ndarray
+    #: int32 [4, n_words]; exclusive popcount prefix per word
+    cum: np.ndarray
+    #: int32 [4]; rows ending with a character < base
+    C: np.ndarray
+    #: uint8 [n_rows]; longest common suffix with previous row
+    lcs: np.ndarray
+    #: optional int32 [4**p, 2] colex intervals for all length-p prefixes
+    precalc: Optional[np.ndarray] = None
+    precalc_len: int = 0
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def n_words(self) -> int:
+        return self.bits.shape[1]
+
+    def alphabet(self) -> bytes:
+        return b"ACGT"
+
+    # ------------------------------------------------------------- rank/sel
+    def rank(self, base: int, pos: int) -> int:
+        """Set bits of bitvector `base` (0..3) in rows [0, pos)."""
+        w, b = divmod(int(pos), 32)
+        if w >= self.n_words:
+            return int(self.cum[base, -1]) + int(
+                bin(int(self.bits[base, -1])).count("1")
+            )
+        word = int(self.bits[base, w])
+        return int(self.cum[base, w]) + bin(word & ((1 << b) - 1)).count("1")
+
+    def select(self, base: int, t: int) -> int:
+        """Row index of the t-th (0-based) set bit of bitvector `base`."""
+        w = int(np.searchsorted(self.cum[base], t, side="right")) - 1
+        word = int(self.bits[base, w])
+        rem = t - int(self.cum[base, w])
+        for b in range(32):
+            if (word >> b) & 1:
+                if rem == 0:
+                    return w * 32 + b
+                rem -= 1
+        raise ValueError(f"select({base}, {t}) out of range")
+
+    # ----------------------------------------------------------- search ops
+    def extend(self, l: int, r: int, code: int) -> tuple[int, int]:
+        """Append base `code` (1..4) to the pattern with interval [l, r)."""
+        if not 1 <= code <= 4:
+            return (0, 0)
+        base = code - 1
+        c0 = int(self.C[base])
+        return (c0 + self.rank(base, l), c0 + self.rank(base, r))
+
+    def search_codes(self, codes: np.ndarray) -> Optional[tuple[int, int]]:
+        """Colex interval of rows having `codes` as a suffix, or None.
+
+        Mirrors ``SbwtIndex::search`` (reference: src/gap_filling.rs:217,593).
+        """
+        l, r = 0, self.n_rows
+        for code in codes:
+            l, r = self.extend(l, r, int(code))
+            if l >= r:
+                return None
+        return (l, r)
+
+    def last_char_code(self, row: int) -> int:
+        """Code (0=$, 1..4) of the last character of `row`."""
+        # C[] boundaries partition rows by last char: [0, C[0]) end with '$',
+        # [C[b], C[b+1]) end with base b.
+        bounds = list(self.C) + [self.n_rows]
+        if row < bounds[0]:
+            return DOLLAR
+        for b in range(N_BASES):
+            if bounds[b] <= row < bounds[b + 1]:
+                return b + 1
+        raise ValueError(f"row {row} out of range")
+
+    def access_kmer_codes(self, row: int) -> np.ndarray:
+        """Reconstruct the k-length code string of a colex row.
+
+        Walks k backward (select) steps. Mirrors ``SbwtIndex::access_kmer`` /
+        ``push_kmer_to_vec`` (reference: src/variant_calling.rs:276,
+        src/gap_filling.rs:144,594).
+        """
+        out = np.zeros(self.k, dtype=np.uint8)
+        cur = int(row)
+        for j in range(self.k - 1, -1, -1):
+            code = self.last_char_code(cur)
+            out[j] = code
+            if code == DOLLAR:
+                break  # rows to the left are all '$'
+            cur = self.select(code - 1, cur - int(self.C[code - 1]))
+        return out
+
+    def access_kmer(self, row: int) -> bytes:
+        """ASCII k-mer at a colex row ('$' for dummy positions)."""
+        return decode_codes(self.access_kmer_codes(row))
+
+    # ------------------------------------------------------------ device
+    def device_arrays(self):
+        """Pack index tables for the JAX device path.
+
+        Returns a dict of numpy arrays; ``kbo_tpu.kernels`` converts them to
+        device arrays. ``table[base, w] = (bits, cum)`` so one row gather
+        serves one rank query.
+        """
+        table = np.stack(
+            [self.bits.view(np.int32), self.cum], axis=-1
+        )  # [4, n_words, 2] int32
+        return {
+            "table": table,
+            "C": self.C.astype(np.int32),
+            "n_rows": np.int32(self.n_rows),
+        }
