@@ -15,7 +15,8 @@ import numpy as np
 from kbo_tpu.index.build import build_sbwt_from_seqs
 from kbo_tpu.index.encode import encode_ascii
 from kbo_tpu.index.sbwt import SbwtIndex
-from kbo_tpu.ops import derandomize, format as fmt, ms as ms_ops, translate
+from kbo_tpu import engine
+from kbo_tpu.ops import derandomize, format as fmt, translate
 from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts, MatchOpts
 from kbo_tpu.refine import gap_filling, variant_calling
 
@@ -39,7 +40,7 @@ def matches(
     threshold = derandomize.random_match_threshold(
         k, sbwt.n_kmers, 4, opts.max_error_prob
     )
-    noisy_ms, _ = ms_ops.query_ms_codes(sbwt, encode_ascii(bytes(query_seq)))
+    noisy_ms, _ = engine.compute_ms(sbwt, encode_ascii(bytes(query_seq)))
     derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
     return translate.translate_ms_vec(derand_ms, k, threshold)
 
@@ -94,7 +95,7 @@ def map_(
         k, query_sbwt.n_kmers, 4, opts.max_error_prob
     )
 
-    noisy_ms, ivals = ms_ops.query_ms_codes(query_sbwt, encode_ascii(ref_seq))
+    noisy_ms, ivals = engine.compute_ms(query_sbwt, encode_ascii(ref_seq))
     derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
     translation = translate.translate_ms_vec(derand_ms, k, threshold)
 

@@ -136,6 +136,45 @@ class SbwtIndex:
         """ASCII k-mer at a colex row ('$' for dummy positions)."""
         return decode_codes(self.access_kmer_codes(row))
 
+    def access_kmers_codes(self, rows: np.ndarray) -> np.ndarray:
+        """Vectorized :meth:`access_kmer_codes` over a batch of rows.
+
+        k backward steps, each a vectorized (searchsorted + in-word binary
+        select) over all lanes. Used by the batched variant caller where one
+        extraction per candidate site is needed (SURVEY §7.3).
+        """
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        n = rows.size
+        out = np.zeros((n, self.k), dtype=np.uint8)
+        cur = rows.copy()
+        alive = np.ones(n, dtype=bool)
+        bounds = np.asarray(self.C, dtype=np.int64)
+        pop = np.bitwise_count
+        for j in range(self.k - 1, -1, -1):
+            code = np.searchsorted(bounds, cur, side="right").astype(np.uint8)
+            code[~alive] = 0
+            out[:, j] = code
+            alive &= code != 0
+            nxt = cur.copy()
+            for b in range(4):
+                m = alive & (code == b + 1)
+                if not m.any():
+                    continue
+                t = cur[m] - bounds[b]
+                w = np.searchsorted(self.cum[b], t, side="right") - 1
+                rem = (t - self.cum[b][w]).astype(np.uint32)
+                word = self.bits[b][w]
+                pos = np.zeros(m.sum(), dtype=np.uint32)
+                for width in (16, 8, 4, 2, 1):
+                    seg = np.uint32((1 << width) - 1) << pos
+                    cnt = pop(word & seg).astype(np.uint32)
+                    right = rem >= cnt
+                    rem = np.where(right, rem - cnt, rem)
+                    pos = np.where(right, pos + width, pos)
+                nxt[m] = w * 32 + pos
+            cur = nxt
+        return out
+
     # ------------------------------------------------------------ device
     def device_arrays(self):
         """Pack index tables for the JAX device path.

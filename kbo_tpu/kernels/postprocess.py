@@ -1,0 +1,143 @@
+"""Device derandomize + translate: parallel reformulations of the reference's
+sequential passes.
+
+Derandomize (reference: src/derandomize.rs:269-288) is a right-to-left
+recurrence:
+
+    d[i] = k                    if noisy[i] == k
+         = noisy[i]             if noisy[i] > t and d[i+1] < noisy[i]
+         = d[i+1] - 1           otherwise
+
+In phi-space (phi = d[i] - i) the decrement branch is the identity, the
+full-k branch is a constant, and the partial-match branch reduces (using the
++1-Lipschitz property of true matching statistics, noisy[i+1] <= noisy[i]+1)
+to a "point function" g(x) = p if x == q else r. Point functions with
+constants and identity are closed under composition, so the whole pass is a
+``jax.lax.associative_scan`` -- O(L) work, O(log L) depth, fully parallel.
+The host oracle (ops/derandomize.py) remains the semantic reference; the
+equivalence holds for any +1-Lipschitz input, which true MS vectors are.
+
+Translate (reference: src/translate.rs:263-293) is a 3-point stencil plus the
+rule that a position already written as the second 'R' of a pair is skipped.
+skip obeys skip[p] = A[p] & ~skip[p-1] with A local, i.e. skip alternates
+inside maximal runs of A -- computed with one cumulative max (run starts) and
+a parity test. Everything else is elementwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# alignment characters encoded as ASCII uint8
+_M, _X, _DASH, _R = ord("M"), ord("X"), ord("-"), ord("R")
+
+
+def _compose(f, g):
+    """Composition f o g of (is_id, is_const, q, v, r) function descriptors.
+
+    Descriptor semantics: identity if is_id; else constant v if is_const;
+    else point function (x == q ? v : r).
+    """
+    f_id, f_c, f_q, f_v, f_r = f
+    g_id, g_c, g_q, g_v, g_r = g
+
+    # apply f to g's two possible outputs (g_v when x==g_q / matched-or-const,
+    # g_r otherwise)
+    def apply_f(x):
+        return jnp.where(f_id, x, jnp.where(f_c, f_v, jnp.where(x == f_q, f_v, f_r)))
+
+    h_v = apply_f(g_v)
+    h_r = apply_f(g_r)
+    # resulting descriptor: if g is id, result is f; if g is const, result is
+    # const apply_f(g_v); else point function keyed on g_q.
+    out_id = f_id & g_id
+    out_c = ~out_id & (g_c | (g_id & f_c))
+    out_q = jnp.where(g_id, f_q, g_q)
+    out_v = jnp.where(g_id, jnp.where(f_c, f_v, f_v), h_v)
+    out_r = jnp.where(g_id, f_r, h_r)
+    return (out_id, out_c, out_q, out_v, out_r)
+
+
+@jax.jit
+def derandomize_kernel(noisy: jax.Array, k, threshold) -> jax.Array:
+    """Parallel derandomization of a (+1-Lipschitz) noisy MS vector [L]."""
+    noisy = noisy.astype(jnp.int32)
+    L = noisy.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    t = jnp.int32(threshold)
+
+    a = noisy - idx  # phi' per position
+    is_k = noisy == jnp.int32(k)
+    is_soft = (noisy > t) & ~is_k
+    # last element: constant vlast - (L-1)
+    vlast = jnp.where(noisy[L - 1] > t, noisy[L - 1], 0) - (L - 1)
+
+    is_id = ~is_k & ~is_soft
+    is_const = is_k
+    q = a - 1  # soft: x == a-1 ? a-1 : a
+    v = jnp.where(is_k, a, a - 1)
+    r = a
+    # overwrite the final position with the constant vlast
+    last = idx == L - 1
+    is_id = jnp.where(last, False, is_id)
+    is_const = jnp.where(last, True, is_const)
+    v = jnp.where(last, vlast, v)
+
+    elems = (is_id, is_const, q, v, r)
+    # suffix composition: out[i] = f_i o f_{i+1} o ... o f_{L-1}. In a
+    # reversed scan the combine receives (right-suffix acc, current element);
+    # the current (left) element applies last.
+    comp = jax.lax.associative_scan(
+        lambda acc, cur: _compose(cur, acc), elems, reverse=True
+    )
+    _, c_c, _, c_v, c_r = comp
+    # f_{L-1} is a constant, so every suffix composition is a constant: value v
+    phi = jnp.where(c_c, c_v, c_r)  # c_r fallback is unreachable
+    return phi + idx
+
+
+@jax.jit
+def translate_kernel(derand: jax.Array, k, threshold) -> jax.Array:
+    """Parallel translation of a derandomized MS vector [L] -> uint8 chars."""
+    d = derand.astype(jnp.int32)
+    L = d.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    t = jnp.int32(threshold)
+
+    prev = jnp.where(idx > 1, jnp.roll(d, 1), jnp.asarray(k, jnp.int32))
+    nxt = jnp.where(idx < L - 1, jnp.roll(d, -1), d)
+
+    rr = (d > t) & (nxt > 0) & (nxt < t)
+    rr_prev = jnp.roll(rr, 1).at[0].set(False)
+    A = (idx > 1) & (idx < L - 1) & rr_prev
+    # skip[p] = A[p] & ~skip[p-1]  => parity within maximal runs of A
+    last_false = jax.lax.cummax(jnp.where(A, jnp.int32(-1), idx))
+    skip = A & (((idx - last_false) & 1) == 1)
+
+    x_char = (nxt == 1) & (prev > 0)
+    base = jnp.where(
+        rr, _R, jnp.where(d <= 0, jnp.where(x_char, _X, _DASH), _M)
+    ).astype(jnp.uint8)
+    return jnp.where(skip, jnp.uint8(_R), base)
+
+
+def derandomize_ms_device(noisy_ms: np.ndarray, k: int, threshold: int) -> np.ndarray:
+    """Device derandomize with host-side numpy I/O."""
+    out = derandomize_kernel(
+        jnp.asarray(np.asarray(noisy_ms), dtype=jnp.int32),
+        jnp.int32(k), jnp.int32(threshold),
+    )
+    return np.asarray(out, dtype=np.int64)
+
+
+def translate_ms_device(derand_ms: np.ndarray, k: int, threshold: int) -> list[str]:
+    """Device translate with host-side numpy I/O (returns chars)."""
+    out = translate_kernel(
+        jnp.asarray(np.asarray(derand_ms), dtype=jnp.int32),
+        jnp.int32(k), jnp.int32(threshold),
+    )
+    return [chr(c) for c in np.asarray(out)]

@@ -128,32 +128,64 @@ def call_variants(
 ) -> list[Variant]:
     """Call all variants between `query` and the reference index.
 
-    Exact mirror of the reference control flow (src/variant_calling.rs:249-294):
-    detect MS drops below threshold, anchor at the next rightward unique match,
-    re-run per-k-mer MS in both directions, and resolve.
+    Semantics mirror the reference exactly (src/variant_calling.rs:249-294)
+    but restructured for batch execution: drop detection and anchor search
+    are vectorized, candidate k-mers are extracted with the batched select
+    walk, and all per-candidate k-mer MS re-runs go through the device MS
+    engine as one batch (two-phase sparse refinement, SURVEY §7.3).
     """
+    from kbo_tpu import engine
+    from kbo_tpu.index.encode import decode_codes
+
     assert sbwt_ref.k == sbwt_query.k
     k = sbwt_ref.k
     d = random_match_threshold(k, sbwt_ref.n_kmers, 4, max_error_prob)
 
     query = bytes(query)
-    ms, ivals = query_ms_codes(sbwt_ref, encode_ascii(query))
-    calls: list[Variant] = []
     n = len(query)
-    for i in range(1, n):
-        if ms[i] < ms[i - 1] and ms[i - 1] >= d and ms[i] < d:
-            # go to the closest unique match position to the right
-            for j in range(i + 1, min(i + k + 1, n)):
-                if ms[j] >= d and ivals[j, 1] - ivals[j, 0] == 1:
-                    ref_colex = int(ivals[j, 0])
-                    query_kmer = get_kmer_ending_at(query, j, k)
-                    ref_kmer = sbwt_ref.access_kmer(ref_colex)
-                    kms_vs_ref, _ = query_ms_codes(sbwt_ref, encode_ascii(query_kmer))
-                    kms_vs_query, _ = query_ms_codes(sbwt_query, encode_ascii(ref_kmer))
-                    try:
-                        qc, rc = resolve_variant(query_kmer, ref_kmer, kms_vs_query, kms_vs_ref, d)
-                        calls.append(Variant(query_pos=i, query_chars=qc, ref_chars=rc))
-                    except ResolveVariantErr:
-                        pass
-                    break
+    ms, ivals = engine.compute_ms(sbwt_ref, encode_ascii(query))
+
+    # phase 1: MS drops below threshold (the variant-start signal)
+    drops = (
+        np.flatnonzero((ms[1:] < ms[:-1]) & (ms[:-1] >= d) & (ms[1:] < d)) + 1
+    )
+    if drops.size == 0:
+        return []
+
+    # phase 2: first anchor j in (i, i+k] with ms[j] >= d and a unique interval
+    good = (ms >= d) & (ivals[:, 1] - ivals[:, 0] == 1)
+    anchor = np.full(drops.size, -1, dtype=np.int64)
+    for off in range(1, k + 1):
+        j = drops + off
+        m = (anchor < 0) & (j < n)
+        m[m] = good[j[m]]
+        anchor[m] = j[m]
+    sel = anchor >= 0
+    sites = drops[sel]
+    anchors = anchor[sel]
+    if sites.size == 0:
+        return []
+
+    # phase 3: batched k-mer extraction + batched bidirectional k-mer MS
+    ref_kmers_codes = sbwt_ref.access_kmers_codes(ivals[anchors, 0])
+    query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
+    qk_codes = [encode_ascii(qk) for qk in query_kmers]
+    rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
+    ms_vs_ref_list = engine.compute_ms_many(sbwt_ref, qk_codes)
+    ms_vs_query_list = engine.compute_ms_many(sbwt_query, rk_codes)
+
+    calls: list[Variant] = []
+    for t, i in enumerate(sites):
+        ref_kmer = decode_codes(ref_kmers_codes[t])
+        try:
+            qc, rc = resolve_variant(
+                query_kmers[t],
+                ref_kmer,
+                ms_vs_query_list[t][0],
+                ms_vs_ref_list[t][0],
+                d,
+            )
+            calls.append(Variant(query_pos=int(i), query_chars=qc, ref_chars=rc))
+        except ResolveVariantErr:
+            pass
     return calls

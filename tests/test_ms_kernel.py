@@ -1,0 +1,54 @@
+"""Device MS kernel vs host oracle: golden + randomized differential tests."""
+
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, build
+from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.kernels.ms import query_ms_device
+from kbo_tpu.ops.ms import query_ms_codes
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def test_golden_vector():
+    # reference: src/index.rs:238-240
+    sbwt = build([b"AAAGAACCA-TCAGGGCG"], BuildOpts(k=3))
+    codes = encode_ascii(b"CAAGCCACTCATTGGGTC")
+    ms, ivals = query_ms_device(sbwt, codes)
+    assert ms.tolist() == [1, 2, 2, 3, 2, 2, 3, 2, 1, 2, 3, 1, 1, 1, 2, 3, 1, 2]
+    ms_ref, iv_ref = query_ms_codes(sbwt, codes)
+    np.testing.assert_array_equal(ms, ms_ref)
+    np.testing.assert_array_equal(ivals, iv_ref)
+
+
+@pytest.mark.parametrize("k", [3, 7, 31, 63])
+def test_differential_random(k):
+    rng = np.random.default_rng(k)
+    ref = BASES[rng.integers(0, 4, 400)].tobytes()
+    # mutated + partially unrelated query, with some Ns sprinkled in
+    q = bytearray(BASES[rng.integers(0, 4, 300)].tobytes())
+    q[50:150] = ref[100:200]
+    q[200:260] = ref[30:90]
+    for p in rng.integers(0, 300, 5):
+        q[p : p + 1] = b"N"
+    query = bytes(q)
+
+    sbwt = build([ref], BuildOpts(k=k))
+    codes = encode_ascii(query)
+    ms_ref, iv_ref = query_ms_codes(sbwt, codes)
+    ms_dev, iv_dev = query_ms_device(sbwt, codes)
+    np.testing.assert_array_equal(ms_dev, ms_ref)
+    np.testing.assert_array_equal(iv_dev, iv_ref)
+
+
+def test_blocking_parity():
+    rng = np.random.default_rng(0)
+    ref = BASES[rng.integers(0, 4, 500)].tobytes()
+    query = BASES[rng.integers(0, 4, 700)].tobytes()
+    sbwt = build([ref], BuildOpts(k=15))
+    codes = encode_ascii(query)
+    ms1, iv1 = query_ms_device(sbwt, codes, block=1 << 16)
+    ms2, iv2 = query_ms_device(sbwt, codes, block=128)
+    np.testing.assert_array_equal(ms1, ms2)
+    np.testing.assert_array_equal(iv1, iv2)

@@ -1,0 +1,83 @@
+"""Parallel derandomize/translate kernels vs sequential references.
+
+The derandomize equivalence requires +1-Lipschitz inputs (true MS vectors
+satisfy noisy[i+1] <= noisy[i] + 1); generators below enforce it.
+"""
+
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, build
+from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.kernels.postprocess import derandomize_ms_device, translate_ms_device
+from kbo_tpu.ops.derandomize import derandomize_ms_vec, random_match_threshold
+from kbo_tpu.ops.ms import query_ms_codes
+from kbo_tpu.ops.translate import translate_ms_vec
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _lipschitz_ms(rng, L, k):
+    """Random vector with noisy[i+1] <= noisy[i]+1, values in [0, k]."""
+    out = np.zeros(L, dtype=np.int64)
+    cur = int(rng.integers(0, k + 1))
+    for i in range(L):
+        out[i] = cur
+        step = rng.choice([1, 1, 1, 0, -rng.integers(0, k + 1)])
+        cur = int(np.clip(cur + step, 0, k))
+    return out
+
+
+def test_derandomize_golden():
+    noisy = np.array([1, 2, 2, 3, 2, 2, 3, 2, 1, 2, 3, 1, 1, 1, 2, 3, 1, 2])
+    expected = [0, 1, 2, 3, 1, 2, 3, 0, 1, 2, 3, -1, 0, 1, 2, 3, -1, 0]
+    assert derandomize_ms_device(noisy, 3, 2).tolist() == expected
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_derandomize_differential_synthetic(seed):
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 64))
+    t = int(rng.integers(2, k + 1))
+    noisy = _lipschitz_ms(rng, 300, k)
+    ref = derandomize_ms_vec(noisy, k, t)
+    dev = derandomize_ms_device(noisy, k, t)
+    np.testing.assert_array_equal(dev, ref)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_derandomize_translate_differential_real_ms(seed):
+    """End-to-end on genuine MS vectors from mutated sequence pairs."""
+    rng = np.random.default_rng(100 + seed)
+    ref_seq = BASES[rng.integers(0, 4, 500)].tobytes()
+    q = bytearray(ref_seq)
+    for p in rng.integers(10, 490, 12):
+        q[p] = BASES[rng.integers(0, 4)]
+    k = int(rng.integers(5, 33))
+    sbwt = build([bytes(q)], BuildOpts(k=k))
+    noisy, _ = query_ms_codes(sbwt, encode_ascii(ref_seq))
+    t = max(2, random_match_threshold(k, sbwt.n_kmers, 4, 0.001))
+    ref_d = derandomize_ms_vec(noisy, k, t)
+    dev_d = derandomize_ms_device(noisy, k, t)
+    np.testing.assert_array_equal(dev_d, ref_d)
+
+    ref_t = translate_ms_vec(ref_d, k, t)
+    dev_t = translate_ms_device(dev_d, k, t)
+    assert dev_t == ref_t
+
+
+def test_translate_golden():
+    ms = [0, 1, 2, 3, 1, 2, 3, 0, 1, 2, 3, -1, 0, 1, 2, 3, -1, 0]
+    assert translate_ms_device(np.array(ms), 3, 2) == list("XMMRRMMXMMM--MMM--")
+    ms = [1, 2, 3, 1, 2, 3, 3, 3, 3, 1, 2, 3]
+    assert translate_ms_device(np.array(ms), 3, 2) == list("MMRRMMMMRRMM")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_translate_differential_synthetic(seed):
+    rng = np.random.default_rng(200 + seed)
+    k = int(rng.integers(3, 64))
+    t = int(rng.integers(2, k))
+    noisy = _lipschitz_ms(rng, 257, k)
+    d = derandomize_ms_vec(noisy, k, t)
+    assert translate_ms_device(d, k, t) == translate_ms_vec(d, k, t)
