@@ -20,6 +20,19 @@ Option dataclasses (:class:`BuildOpts`, :class:`MatchOpts`, :class:`FindOpts`,
 (reference: src/lib.rs:255-466).
 """
 
+import os as _os
+
+if _os.environ.get("KBO_TPU_PLATFORM"):
+    # Reliable platform override: this environment's sitecustomize registers
+    # the remote axon TPU plugin and pins jax_platforms, so the JAX_PLATFORMS
+    # env var alone does not stick. KBO_TPU_PLATFORM=cpu forces local CPU.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["KBO_TPU_PLATFORM"])
+    except ImportError:
+        pass
+
 from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts, MatchOpts
 from kbo_tpu.api import build, call, find, map_, matches
 from kbo_tpu.refine.variant_calling import Variant

@@ -7,14 +7,19 @@ k-character window ending at i, so every position is computed independently by
 binary-searching the longest matching suffix length with fresh SBWT interval
 extensions. Monotonicity (a suffix of a row-suffix is a row-suffix) makes the
 search valid. No sequential scan, no LCS contraction; throughput is set by
-gather bandwidth, and scales with the position batch, which is what TPUs want
+gather bandwidth and scales with the position batch, which is what TPUs want
 (SURVEY §7.3 "MS walk sequentiality").
 
 Cost per position: (1 + ceil(log2(k+1))) probes x k masked LF steps, each LF
-step = 2 gathers of (bits, cum) rows from the rank table.
+step = 2 rank queries. The rank table packs (bitvector word, popcount prefix)
+as one int32[...,2] row per 32-row block per base, so one row gather answers
+one rank query (see SbwtIndex.device_arrays).
 
-The rank table layout is one int32[...,2] row per 32-row block per base so a
-single row gather answers one rank query (see SbwtIndex.device_arrays).
+Query layout: each query is stored in a flat uint8 code buffer with k-1
+leading INVALID sentinels; the window ending at query position i spans
+buffer[base+i .. base+i+k-1]. Characters are gathered per LF step; no window
+matrix is materialized. Multiple queries concatenate into one buffer, which
+is also the unit the distributed layer shards.
 """
 
 from __future__ import annotations
@@ -28,8 +33,10 @@ import numpy as np
 
 from kbo_tpu.index.sbwt import SbwtIndex
 
+INVALID = 255
 
-def _rank(table2: jax.Array, n_words: int, base: jax.Array, pos: jax.Array) -> jax.Array:
+
+def _rank(table2: jax.Array, n_words, base: jax.Array, pos: jax.Array) -> jax.Array:
     """rank_base(pos) for per-lane base (0..3) and position arrays."""
     w = pos >> 5
     b = (pos & 31).astype(jnp.uint32)
@@ -43,7 +50,7 @@ def _rank(table2: jax.Array, n_words: int, base: jax.Array, pos: jax.Array) -> j
 def _extend(table2, C, n_words, l, r, c):
     """LF step: interval [l, r) of P -> interval of P + c. Invalid c -> empty."""
     valid = (c >= 1) & (c <= 4)
-    base = jnp.clip(c - 1, 0, 3)
+    base = jnp.clip(c - 1, 0, 3).astype(jnp.int32)
     c0 = jnp.take(C, base)
     nl = c0 + _rank(table2, n_words, base, l)
     nr = c0 + _rank(table2, n_words, base, r)
@@ -52,43 +59,42 @@ def _extend(table2, C, n_words, l, r, c):
     return nl, nr
 
 
-def _probe(table2, C, n_words, n_rows, windows, length, k):
-    """Interval of the suffix of length `length` (per-lane) of each window.
+def _probe(table2, C, n_words, n_rows, buf, pos, length, k: int):
+    """Interval of the window suffix of per-lane `length` ending at each pos.
 
-    windows: int32 [P, k] (window chars, oldest first); length: int32 [P].
-    Returns (l, r) with l < r iff the suffix occurs in the index.
+    buf: uint8 code buffer; pos: int32 [P] window-start indices into buf
+    (window chars are buf[pos+t], t in [0, k)); length: int32 [P].
     """
-    P = windows.shape[0]
-    l0 = jnp.zeros(P, dtype=jnp.int32)
-    r0 = jnp.full(P, n_rows, dtype=jnp.int32)
+    # derive the init from varying inputs (buf) so the loop carry is marked
+    # axis-varying under shard_map's per-shard type checking
+    zero = (jnp.take(buf, 0) * 0).astype(jnp.int32)
+    l0 = jnp.zeros_like(pos) + zero
+    r0 = l0 + jnp.int32(n_rows)
 
     def body(t, lr):
         l, r = lr
         active = t >= (k - length)
-        c = jax.lax.dynamic_index_in_dim(windows, t, axis=1, keepdims=False)
+        c = jnp.take(buf, pos + t).astype(jnp.int32)
         nl, nr = _extend(table2, C, n_words, l, r, c)
         return (jnp.where(active, nl, l), jnp.where(active, nr, r))
 
     return jax.lax.fori_loop(0, k, body, (l0, r0))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def ms_kernel(table2, C, n_rows, windows, lmax, k: int):
-    """MS values + colex intervals for a batch of k-windows.
+def ms_core(table2, C, n_rows, buf, pos, lmax, k: int):
+    """MS values + colex intervals for a batch of window positions.
 
-    windows: int32 [P, k]; lmax: int32 [P] = min(k, position+1), the longest
-    admissible suffix per lane. Returns (ms [P], l [P], r [P]) int32; lanes
-    with ms == 0 carry the empty-string interval [0, n_rows).
+    Returns (ms, l, r) int32 [P]; ms == 0 lanes carry [0, n_rows).
+    This is the un-jitted core, reusable inside fused pipelines.
     """
     n_words = table2.shape[0] // 4
-    P = windows.shape[0]
-
+    P = pos.shape[0]
     best_l = jnp.zeros(P, dtype=jnp.int32)
     best_r = jnp.full(P, n_rows, dtype=jnp.int32)
 
-    # probe 0: the full admissible length (the common case on high-identity
-    # data is a full k-length match, so most lanes finish here)
-    l, r = _probe(table2, C, n_words, n_rows, windows, lmax, k)
+    # probe 0: full admissible length (most lanes finish here on
+    # high-identity data)
+    l, r = _probe(table2, C, n_words, n_rows, buf, pos, lmax, k)
     hit = l < r
     lo = jnp.where(hit, lmax, jnp.zeros_like(lmax))
     hi = jnp.where(hit, lmax, lmax - 1)
@@ -100,7 +106,9 @@ def ms_kernel(table2, C, n_rows, windows, lmax, k: int):
     for _ in range(n_probes):
         mid = (lo + hi + 1) >> 1
         need = lo < hi
-        l, r = _probe(table2, C, n_words, n_rows, windows, jnp.where(need, mid, 0), k)
+        l, r = _probe(
+            table2, C, n_words, n_rows, buf, pos, jnp.where(need, mid, 0), k
+        )
         hit = need & (l < r)
         best_l = jnp.where(hit, l, best_l)
         best_r = jnp.where(hit, r, best_r)
@@ -110,14 +118,56 @@ def ms_kernel(table2, C, n_rows, windows, lmax, k: int):
     return lo, best_l, best_r
 
 
+ms_kernel = jax.jit(ms_core, static_argnames=("k",))
+
+
+def ms_long_core(table2, C, n_rows, buf, true_len, k: int, block: int):
+    """MS over all positions of ONE long query in a single dispatch.
+
+    buf: uint8 [k-1 + Lp] with Lp a multiple of `block`; position blocks run
+    under lax.map (sequential on device) to bound working memory. One device
+    dispatch regardless of length -- per-dispatch latency is significant on
+    remote-attached accelerators.
+    """
+    Lp = buf.shape[0] - (k - 1)
+    nb = Lp // block
+
+    def do_block(i):
+        pos = i * block + jnp.arange(block, dtype=jnp.int32)
+        lmax = jnp.minimum(jnp.int32(k), pos + 1)
+        lmax = jnp.where(pos < true_len, lmax, 0)
+        return ms_core(table2, C, n_rows, buf, pos, lmax, k)
+
+    ms, l, r = jax.lax.map(do_block, jnp.arange(nb, dtype=jnp.int32))
+    return ms.reshape(-1), l.reshape(-1), r.reshape(-1)
+
+
+ms_long_kernel = jax.jit(ms_long_core, static_argnames=("k", "block"))
+
+
+def pad_long(codes: np.ndarray, k: int, block: int = 1 << 16):
+    """Sentinel-pad one query for the long-path kernels; returns (buf, L)."""
+    L = int(codes.size)
+    b = block
+    while b > L and b > 1024:
+        b >>= 1
+    nb = (L + b - 1) // b
+    # bucket the block count to powers of two to bound compile variants
+    nb2 = 1
+    while nb2 < nb:
+        nb2 <<= 1
+    Lp = nb2 * b
+    buf = np.full(k - 1 + Lp, INVALID, dtype=np.uint8)
+    buf[k - 1 : k - 1 + L] = np.asarray(codes, dtype=np.uint8)
+    return buf, L, b
+
+
 class DeviceIndex:
     """An SbwtIndex's rank tables resident on a device."""
 
     def __init__(self, index: SbwtIndex, device=None):
         arrs = index.device_arrays()
-        table = np.ascontiguousarray(
-            arrs["table"].reshape(-1, 2)
-        )  # [4*n_words, 2] int32
+        table = np.ascontiguousarray(arrs["table"].reshape(-1, 2))
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         self.table2 = put(table)
         self.C = put(arrs["C"])
@@ -125,49 +175,97 @@ class DeviceIndex:
         self.k = int(index.k)
 
 
-def windows_from_codes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Build the [L, k] window matrix and per-position max suffix lengths.
+def pack_queries(code_list: list[np.ndarray], k: int):
+    """Concatenate queries into one padded buffer.
 
-    Window row i holds query[i-k+1 ..= i] with out-of-range positions filled
-    with the invalid sentinel (they can never match, mirroring $-padding).
+    Returns (buf uint8 [T], pos int32 [P], lmax int32 [P], offsets) where P =
+    total query length and offsets[i] slices query i's results.
     """
-    L = codes.size
-    padded = np.concatenate(
-        [np.full(k - 1, 255, dtype=np.uint8), codes.astype(np.uint8)]
+    bufs, poss, lmaxs, offsets = [], [], [], [0]
+    base = 0
+    pad = np.full(k - 1, INVALID, dtype=np.uint8)
+    for c in code_list:
+        c = np.asarray(c, dtype=np.uint8)
+        bufs.append(pad)
+        bufs.append(c)
+        poss.append(base + np.arange(c.size, dtype=np.int32))
+        lmaxs.append(np.minimum(k, np.arange(1, c.size + 1)).astype(np.int32))
+        base += c.size + k - 1
+        offsets.append(offsets[-1] + c.size)
+    return (
+        np.concatenate(bufs),
+        np.concatenate(poss),
+        np.concatenate(lmaxs),
+        offsets,
     )
-    win = np.lib.stride_tricks.sliding_window_view(padded, k)  # [L, k]
-    lmax = np.minimum(k, np.arange(1, L + 1)).astype(np.int32)
-    return win.astype(np.int32), lmax
+
+
+def _bucket(n: int, blocks=(1024, 4096, 16384, 65536)) -> int:
+    for b in blocks:
+        if n <= b:
+            return b
+    return blocks[-1]
+
+
+def ms_packed(
+    dev: DeviceIndex,
+    buf: np.ndarray,
+    pos: np.ndarray,
+    lmax: np.ndarray,
+    block: int | None = None,
+):
+    """Run the MS kernel over a packed query buffer, chunking positions.
+
+    Pads the buffer and each position chunk to bucketed sizes so the number
+    of compiled kernel variants stays small.
+    """
+    k = dev.k
+    P = pos.size
+    block = block or min(_bucket(P), 65536)
+    # bucket-pad the shared buffer (tail sentinels are never dereferenced by
+    # in-range positions beyond pos+k-1)
+    T = _bucket(buf.size + k, tuple(1 << s for s in range(10, 27)))
+    bufp = np.full(T, INVALID, dtype=np.uint8)
+    bufp[: buf.size] = buf
+    bufj = jnp.asarray(bufp)
+
+    ms = np.empty(P, dtype=np.int64)
+    iv = np.empty((P, 2), dtype=np.int64)
+    for s in range(0, P, block):
+        e = min(P, s + block)
+        p = pos[s:e]
+        lm = lmax[s:e]
+        if e - s < block:
+            p = np.pad(p, (0, block - (e - s)))
+            lm = np.pad(lm, (0, block - (e - s)))
+        m, l, r = ms_kernel(dev.table2, dev.C, dev.n_rows, bufj, p, lm, k)
+        ms[s:e] = np.asarray(m[: e - s], dtype=np.int64)
+        iv[s:e, 0] = np.asarray(l[: e - s], dtype=np.int64)
+        iv[s:e, 1] = np.asarray(r[: e - s], dtype=np.int64)
+    return ms, iv
 
 
 def query_ms_device(
-    index: SbwtIndex | DeviceIndex,
-    codes: np.ndarray,
-    block: int = 1 << 16,
-) -> tuple[np.ndarray, np.ndarray]:
+    index: SbwtIndex | DeviceIndex, codes: np.ndarray, block: int | None = None
+):
     """Device-computed MS for one encoded query.
 
-    Drop-in replacement for :func:`kbo_tpu.ops.ms.query_ms_codes`:
-    returns (ms [L] int64, intervals [L, 2] int64).
+    Drop-in replacement for :func:`kbo_tpu.ops.ms.query_ms_codes`. Large
+    queries take the single-dispatch long path.
     """
     dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
-    k = dev.k
-    L = int(codes.size)
-    win, lmax = windows_from_codes(np.asarray(codes), k)
-
-    ms_out = np.empty(L, dtype=np.int64)
-    iv_out = np.empty((L, 2), dtype=np.int64)
-    # pad the final block to the fixed block shape to avoid recompiles
-    for start in range(0, L, block):
-        stop = min(L, start + block)
-        n = stop - start
-        wblk = win[start:stop]
-        lblk = lmax[start:stop]
-        if n < block and L > block:
-            wblk = np.pad(wblk, ((0, block - n), (0, 0)))
-            lblk = np.pad(lblk, (0, block - n))
-        ms, l, r = ms_kernel(dev.table2, dev.C, dev.n_rows, wblk, lblk, k)
-        ms_out[start:stop] = np.asarray(ms[:n], dtype=np.int64)
-        iv_out[start:stop, 0] = np.asarray(l[:n], dtype=np.int64)
-        iv_out[start:stop, 1] = np.asarray(r[:n], dtype=np.int64)
-    return ms_out, iv_out
+    codes = np.asarray(codes)
+    if codes.size > (1 << 16):
+        buf, L, b = pad_long(codes, dev.k)
+        ms, l, r = ms_long_kernel(
+            dev.table2, dev.C, dev.n_rows, jnp.asarray(buf), jnp.int32(L),
+            dev.k, b,
+        )
+        ms_np = np.asarray(ms[:L], dtype=np.int64)
+        iv = np.stack(
+            [np.asarray(l[:L], dtype=np.int64), np.asarray(r[:L], dtype=np.int64)],
+            axis=1,
+        )
+        return ms_np, iv
+    buf, pos, lmax, _ = pack_queries([codes], dev.k)
+    return ms_packed(dev, buf, pos, lmax, block=block)

@@ -62,19 +62,26 @@ def _compose(f, g):
     return (out_id, out_c, out_q, out_v, out_r)
 
 
-@jax.jit
-def derandomize_kernel(noisy: jax.Array, k, threshold) -> jax.Array:
-    """Parallel derandomization of a (+1-Lipschitz) noisy MS vector [L]."""
+def derandomize_core(noisy: jax.Array, k, threshold, true_len=None) -> jax.Array:
+    """Parallel derandomization of a (+1-Lipschitz) noisy MS vector [L].
+
+    ``true_len`` (traced) supports bucket-padded inputs: positions past
+    true_len must carry noisy == 0 (identity) and their outputs are garbage
+    to be sliced off by the caller.
+    """
     noisy = noisy.astype(jnp.int32)
     L = noisy.shape[0]
+    if true_len is None:
+        true_len = jnp.int32(L)
     idx = jnp.arange(L, dtype=jnp.int32)
     t = jnp.int32(threshold)
 
     a = noisy - idx  # phi' per position
     is_k = noisy == jnp.int32(k)
     is_soft = (noisy > t) & ~is_k
-    # last element: constant vlast - (L-1)
-    vlast = jnp.where(noisy[L - 1] > t, noisy[L - 1], 0) - (L - 1)
+    # final element: constant vlast - (true_len-1)
+    nlast = jnp.take(noisy, true_len - 1)
+    vlast = jnp.where(nlast > t, nlast, 0) - (true_len - 1)
 
     is_id = ~is_k & ~is_soft
     is_const = is_k
@@ -82,40 +89,90 @@ def derandomize_kernel(noisy: jax.Array, k, threshold) -> jax.Array:
     v = jnp.where(is_k, a, a - 1)
     r = a
     # overwrite the final position with the constant vlast
-    last = idx == L - 1
+    last = idx == true_len - 1
     is_id = jnp.where(last, False, is_id)
     is_const = jnp.where(last, True, is_const)
     v = jnp.where(last, vlast, v)
 
     elems = (is_id, is_const, q, v, r)
-    # suffix composition: out[i] = f_i o f_{i+1} o ... o f_{L-1}. In a
-    # reversed scan the combine receives (right-suffix acc, current element);
-    # the current (left) element applies last.
-    comp = jax.lax.associative_scan(
-        lambda acc, cur: _compose(cur, acc), elems, reverse=True
-    )
+    comp = _suffix_scan(elems)
     _, c_c, _, c_v, c_r = comp
     # f_{L-1} is a constant, so every suffix composition is a constant: value v
-    phi = jnp.where(c_c, c_v, c_r)  # c_r fallback is unreachable
+    phi = jnp.where(c_c, c_v, c_r)  # within true_len, c_r is unreachable
     return phi + idx
 
 
-@jax.jit
-def translate_kernel(derand: jax.Array, k, threshold) -> jax.Array:
+# combine for reversed scans: the current (left) element applies last
+_combine_rev = lambda acc, cur: _compose(cur, acc)
+
+_SCAN_BLOCK = 1 << 15
+
+
+def _suffix_scan(elems):
+    """Inclusive right-to-left composition scan, blocked two-level.
+
+    out[i] = f_i o f_{i+1} o ... o f_{L-1}. A flat associative_scan's compile
+    time grows with L (an issue with remote XLA compiles); reshaping to
+    [nb, B] keeps the op count independent of L: per-block suffix scans, a
+    tiny scan over block summaries, then one combine.
+    """
+    L = elems[0].shape[0]
+    B = _SCAN_BLOCK
+    if L <= B or L % B != 0:
+        return jax.lax.associative_scan(_combine_rev, elems, reverse=True)
+    blocked = tuple(x.reshape(-1, B) for x in elems)
+    local = jax.lax.associative_scan(_combine_rev, blocked, reverse=True, axis=1)
+    summaries = tuple(x[:, 0] for x in local)
+    suf = jax.lax.associative_scan(_combine_rev, summaries, reverse=True)
+    # exclusive suffix per block: composition of all blocks strictly after i
+    ident = (jnp.bool_(True), jnp.bool_(False), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    suf_excl = tuple(
+        jnp.concatenate([x[1:], jnp.broadcast_to(i, (1,))])
+        for x, i in zip(suf, ident)
+    )
+    out = _compose(
+        tuple(x for x in local),
+        tuple(jnp.broadcast_to(x[:, None], local[0].shape) for x in suf_excl),
+    )
+    # composition order: out[i,j] = local[i,j] o suffix_of_later_blocks
+    return tuple(x.reshape(L) for x in out)
+
+
+derandomize_kernel = jax.jit(derandomize_core)
+
+
+def _blocked_cummax(x):
+    """cummax with L-independent compile cost (two-level blocked scan)."""
+    L = x.shape[0]
+    B = _SCAN_BLOCK
+    if L <= B or L % B != 0:
+        return jax.lax.cummax(x)
+    xb = x.reshape(-1, B)
+    local = jax.lax.cummax(xb, axis=1)
+    shifted = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), local[:-1, -1]]
+    )
+    prefix = jax.lax.cummax(shifted)
+    return jnp.maximum(local, prefix[:, None]).reshape(L)
+
+
+def translate_core(derand: jax.Array, k, threshold, true_len=None) -> jax.Array:
     """Parallel translation of a derandomized MS vector [L] -> uint8 chars."""
     d = derand.astype(jnp.int32)
     L = d.shape[0]
+    if true_len is None:
+        true_len = jnp.int32(L)
     idx = jnp.arange(L, dtype=jnp.int32)
     t = jnp.int32(threshold)
 
     prev = jnp.where(idx > 1, jnp.roll(d, 1), jnp.asarray(k, jnp.int32))
-    nxt = jnp.where(idx < L - 1, jnp.roll(d, -1), d)
+    nxt = jnp.where(idx < true_len - 1, jnp.roll(d, -1), d)
 
     rr = (d > t) & (nxt > 0) & (nxt < t)
     rr_prev = jnp.roll(rr, 1).at[0].set(False)
-    A = (idx > 1) & (idx < L - 1) & rr_prev
+    A = (idx > 1) & (idx < true_len - 1) & rr_prev
     # skip[p] = A[p] & ~skip[p-1]  => parity within maximal runs of A
-    last_false = jax.lax.cummax(jnp.where(A, jnp.int32(-1), idx))
+    last_false = _blocked_cummax(jnp.where(A, jnp.int32(-1), idx))
     skip = A & (((idx - last_false) & 1) == 1)
 
     x_char = (nxt == 1) & (prev > 0)
@@ -123,6 +180,9 @@ def translate_kernel(derand: jax.Array, k, threshold) -> jax.Array:
         rr, _R, jnp.where(d <= 0, jnp.where(x_char, _X, _DASH), _M)
     ).astype(jnp.uint8)
     return jnp.where(skip, jnp.uint8(_R), base)
+
+
+translate_kernel = jax.jit(translate_core)
 
 
 def derandomize_ms_device(noisy_ms: np.ndarray, k: int, threshold: int) -> np.ndarray:

@@ -181,55 +181,72 @@ def fill_gaps(
     refined = list(translation)
     bound = math.log1p(-max_err_prob)
 
-    i = threshold + 1
-    while i < len(refined) - threshold:
-        if refined[i - 1] in ("-", "X"):
-            start_index = i - 1
-            while i < n and refined[i] == "-":
-                i += 1
-            end_index = min(i, len(refined) - threshold)
-            gap_len = end_index - start_index
+    # Enumerate gaps upfront (vectorized): filled gaps are painted with
+    # 'M'/nucleotides, never '-'/'X', and writes land strictly left of the
+    # scan point, so the reference's incremental scan over `refined`
+    # (src/gap_filling.rs:466-475) sees exactly the gaps of the ORIGINAL
+    # translation: maximal ['-'|'X'] + '-'* blocks with start in
+    # [threshold, n - threshold - 1).
+    trans_arr = np.frombuffer(
+        "".join(translation).encode("latin-1"), dtype=np.uint8
+    )
+    is_dash = trans_arr == ord("-")
+    is_gap_char = is_dash | (trans_arr == ord("X"))
+    gaps = []
+    lo, hi = threshold, n - threshold - 1
+    p = lo
+    cand = np.flatnonzero(is_gap_char[lo:hi]) + lo
+    for p0 in cand:
+        if p0 < p:
+            continue
+        q = p0 + 1
+        while q < n and is_dash[q]:
+            q += 1
+        gaps.append((int(p0), int(q)))
+        p = q
+    for start_index, run_end in gaps:
+        end_index = min(run_end, n - threshold)
+        gap_len = end_index - start_index
 
-            overlap_without_extend = gap_len + 2 * threshold <= k
-            search_radius = k - (threshold if overlap_without_extend else 0)
-            kmer = left_extend_over_gap(
-                ivals, ref_seq, query_sbwt, threshold, threshold,
-                start_index, end_index, search_radius,
+        overlap_without_extend = gap_len + 2 * threshold <= k
+        search_radius = k - (threshold if overlap_without_extend else 0)
+        kmer = left_extend_over_gap(
+            ivals, ref_seq, query_sbwt, threshold, threshold,
+            start_index, end_index, search_radius,
+        )
+
+        kmer_found = len(kmer) > 0 and b"$" not in kmer
+        no_indels = len(kmer) == threshold + gap_len + threshold
+
+        matching_bases = [
+            kmer_nt == ref_nt
+            for kmer_nt, ref_nt in zip(
+                kmer[min(threshold, len(kmer)) : min(threshold + gap_len, len(kmer))],
+                ref_seq[start_index:end_index],
             )
+        ]
+        total_overlaps = sum(matching_bases)
+        # sum of per-run cdfs over consecutive-match runs; a trailing run
+        # that reaches the end of the window contributes nothing
+        log_probs = 0.0
+        consecutive = 0
+        for x0, x1 in zip(matching_bases, matching_bases[1:]):
+            if x0 and x1:
+                consecutive += 1
+            else:
+                if consecutive > 0:
+                    log_probs += log_rm_max_cdf(consecutive + 1, 4, 1)
+                consecutive = 0
 
-            kmer_found = len(kmer) > 0 and b"$" not in kmer
-            no_indels = len(kmer) == threshold + gap_len + threshold
-
-            matching_bases = [
-                kmer_nt == ref_nt
-                for kmer_nt, ref_nt in zip(
-                    kmer[min(threshold, len(kmer)) : min(threshold + gap_len, len(kmer))],
-                    ref_seq[start_index:end_index],
-                )
-            ]
-            total_overlaps = sum(matching_bases)
-            # sum of per-run cdfs over consecutive-match runs; a trailing run
-            # that reaches the end of the window contributes nothing
-            log_probs = 0.0
-            consecutive = 0
-            for x0, x1 in zip(matching_bases, matching_bases[1:]):
-                if x0 and x1:
-                    consecutive += 1
-                else:
-                    if consecutive > 0:
-                        log_probs += log_rm_max_cdf(consecutive + 1, 4, 1)
-                    consecutive = 0
-
-            fill_overlaps = log_probs > bound
-            fill_flanked = (
-                bool(matching_bases)
-                and not matching_bases[0]
-                and not matching_bases[-1]
-                and total_overlaps + 2 == gap_len
-            )
-            if kmer_found and no_indels and (overlap_without_extend or fill_overlaps or fill_flanked):
-                for t in range(start_index, end_index):
-                    kmer_nt = kmer[threshold + (t - start_index)]
-                    refined[t] = "M" if kmer_nt == ref_seq[t] else chr(kmer_nt)
-        i += 1
+        fill_overlaps = log_probs > bound
+        fill_flanked = (
+            bool(matching_bases)
+            and not matching_bases[0]
+            and not matching_bases[-1]
+            and total_overlaps + 2 == gap_len
+        )
+        if kmer_found and no_indels and (overlap_without_extend or fill_overlaps or fill_flanked):
+            for t in range(start_index, end_index):
+                kmer_nt = kmer[threshold + (t - start_index)]
+                refined[t] = "M" if kmer_nt == ref_seq[t] else chr(kmer_nt)
     return refined

@@ -1,0 +1,59 @@
+"""Multi-device parity: same batch on 1 device vs an 8-device CPU mesh must
+produce bit-identical merged outputs (SURVEY §4 testing plan item c)."""
+
+import jax
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, build
+from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.ops.derandomize import random_match_threshold
+from kbo_tpu.ops.ms import query_ms_codes
+from kbo_tpu.ops.derandomize import derandomize_ms_vec
+from kbo_tpu.ops.translate import translate_ms_vec
+from kbo_tpu.parallel.mesh import make_mesh, matches_batch_sharded
+from kbo_tpu.pipeline import matches_batch
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _mk_queries(rng, ref, n, lo=50, hi=300):
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(lo, hi))
+        start = int(rng.integers(0, len(ref) - L))
+        q = bytearray(ref[start : start + L])
+        for p in rng.integers(0, L, 3):
+            q[p] = BASES[rng.integers(0, 4)]
+        out.append(encode_ascii(bytes(q)))
+    return out
+
+
+def test_single_vs_multi_device_parity():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(5)
+    ref = BASES[rng.integers(0, 4, 2000)].tobytes()
+    sbwt = build([ref], BuildOpts(k=21))
+    t = random_match_threshold(21, sbwt.n_kmers, 4, 1e-7)
+    queries = _mk_queries(rng, ref, 13)  # deliberately not divisible by 8
+
+    single = matches_batch(sbwt, queries, t)
+    mesh8 = make_mesh(8)
+    multi = matches_batch_sharded(sbwt, queries, t, mesh=mesh8)
+    assert len(single) == len(multi) == 13
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_vs_scalar_oracle():
+    rng = np.random.default_rng(6)
+    ref = BASES[rng.integers(0, 4, 1500)].tobytes()
+    sbwt = build([ref], BuildOpts(k=15))
+    t = max(2, random_match_threshold(15, sbwt.n_kmers, 4, 1e-7))
+    queries = _mk_queries(rng, ref, 5)
+
+    batched = matches_batch(sbwt, queries, t)
+    for codes, chars in zip(queries, batched):
+        noisy, _ = query_ms_codes(sbwt, codes)
+        expected = translate_ms_vec(derandomize_ms_vec(noisy, 15, t), 15, t)
+        assert [chr(c) for c in chars] == expected

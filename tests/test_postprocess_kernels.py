@@ -81,3 +81,29 @@ def test_translate_differential_synthetic(seed):
     noisy = _lipschitz_ms(rng, 257, k)
     d = derandomize_ms_vec(noisy, k, t)
     assert translate_ms_device(d, k, t) == translate_ms_vec(d, k, t)
+
+
+def test_blocked_scan_branch():
+    """L = multiple of the scan block exercises the two-level scan path."""
+    from kbo_tpu.kernels.postprocess import _SCAN_BLOCK
+
+    rng = np.random.default_rng(9)
+    L = 2 * _SCAN_BLOCK
+    k, t = 31, 11
+    noisy = _lipschitz_ms_fast(rng, L, k)
+    ref = derandomize_ms_vec(noisy, k, t)
+    dev = derandomize_ms_device(noisy, k, t)
+    np.testing.assert_array_equal(dev, ref)
+    assert translate_ms_device(dev, k, t) == translate_ms_vec(ref, k, t)
+
+
+def _lipschitz_ms_fast(rng, L, k):
+    """Vectorized +1-Lipschitz generator (the loop version is too slow here)."""
+    steps = rng.choice([1, 1, 1, 0, -3, -9, -30], size=L)
+    out = np.zeros(L, dtype=np.int64)
+    cur = int(rng.integers(0, k + 1))
+    # enforce the Lipschitz bound with a clamped walk
+    for i in range(L):
+        out[i] = cur
+        cur = int(min(max(cur + steps[i], 0), k))
+    return out
