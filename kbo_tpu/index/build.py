@@ -105,7 +105,10 @@ def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
         raise AssertionError("every non-root row must have a predecessor")
     edge_char = last[y]  # 1..4
 
-    n_words = (n + 31) // 32
+    # one guard word past the last row: rank queries at pos == n_rows (the
+    # initial full interval's right end) index word n_rows >> 5, which falls
+    # outside ceil(n/32) words exactly when n_rows % 32 == 0
+    n_words = n // 32 + 1
     bits = np.zeros((N_BASES, n_words), dtype=np.uint32)
     for b in range(N_BASES):
         sel = pred[edge_char == b + 1]

@@ -62,3 +62,30 @@ def test_intervals_unique_rows():
             l, r = ivals[i]
             kmer = sbwt.access_kmer(int(l))
             assert kmer == QUERY[i - 2 : i + 1]
+
+
+def test_n_rows_multiple_of_32():
+    """Regression: rank at pos == n_rows must stay in-bounds when n_rows is
+    an exact multiple of 32 (guard word)."""
+    import numpy as np
+    from kbo_tpu.kernels.ms import query_ms_device
+    from kbo_tpu import native
+
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rng = np.random.default_rng(32)
+    # single segment of length L yields L+1 rows; L = 127 -> 128 rows
+    for L in (127, 255):
+        seq = BASES[rng.integers(0, 4, L)].tobytes()
+        sbwt = build([seq], BuildOpts(k=9))
+        if sbwt.n_rows % 32 != 0:
+            continue
+        q = seq[3:90] + b"T" + seq[90:120]
+        from kbo_tpu.index.encode import encode_ascii
+        codes = encode_ascii(q)
+        ms_h, iv_h = query_ms(sbwt, q)
+        ms_d, iv_d = query_ms_device(sbwt, codes)
+        np.testing.assert_array_equal(ms_d, ms_h)
+        np.testing.assert_array_equal(iv_d, iv_h)
+        if native.available():
+            ms_n, iv_n = native.ms_stream(sbwt, codes)
+            np.testing.assert_array_equal(ms_n, ms_h)
