@@ -1,17 +1,21 @@
 #!/usr/bin/env python
 """kbo-tpu benchmark: map-core throughput on the default JAX device.
 
-Workload: the dominant stage of `kbo map` -- streaming a mutated genome
-against a query SBWT index: matching statistics + derandomize + translate,
-fused on device. Baseline: the native single-core streaming engine
-(csrc/kbo_cpu.cpp), which implements the reference's sequential algorithm
-(the reference publishes no numbers; BASELINE.md mandates a measured
-single-core denominator).
+Workload: the dominant device stage of `kbo map` -- streaming a mutated
+genome against a query SBWT index: matching statistics + colex intervals +
+derandomize + translate, fused on device (the sort-join engine,
+kbo_tpu/kernels/ms.py). Baseline: the native single-core streaming engine
+(csrc/kbo_cpu.cpp), which implements the reference's sequential
+extend/contract algorithm over the same stages (the reference publishes no
+numbers; BASELINE.md mandates a measured single-core denominator).
 
-Timing is device compute (jax.block_until_ready on device-resident outputs);
-in this dev environment host<->device transfers go through a slow network
-relay that a real TPU host does not have, so they are reported separately on
-stderr and excluded from the metric.
+Timing is honest end-to-end device time: every repetition reduces the
+outputs to a scalar checksum on device and fetches it, which forces the
+remote execution to finish (block_until_ready alone does NOT synchronize
+through the axon relay). The scalar-fetch round trip is measured separately
+and subtracted. Output parity vs the native engine is verified on-device
+(the relay makes bulk device->host fetches pathologically slow; a real TPU
+host has no such relay).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "bases/s", "vs_baseline": N}
@@ -41,12 +45,19 @@ def main():
         streamed[p] = bases[rng.integers(0, 4)]
     streamed = bytes(streamed)
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
     from kbo_tpu import BuildOpts, build
     from kbo_tpu.engine import device_index
     from kbo_tpu.index.encode import encode_ascii
-    from kbo_tpu.kernels.ms import pad_long
+    from kbo_tpu.kernels.ms import INVALID, make_flat_buffer, ms2_core, ms3_windows_core
+    from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
     from kbo_tpu.ops.derandomize import random_match_threshold
-    from kbo_tpu.pipeline import long_matches_pipeline
 
     t0 = time.time()
     index = build([query], BuildOpts(k=k))
@@ -54,47 +65,103 @@ def main():
     threshold = random_match_threshold(k, index.n_kmers, 4, 1e-7)
     codes = encode_ascii(streamed)
 
-    import jax
-    import jax.numpy as jnp
-
     dev = device_index(index)
     platform = jax.devices()[0].platform
+    buf_np, L = make_flat_buffer(codes, k)
+    buf = jax.device_put(jnp.asarray(buf_np))
+    thr = jnp.int32(threshold)
+    Lj = jnp.int32(L)
 
-    buf, L, block = pad_long(codes, k)
-    bufj = jax.device_put(jnp.asarray(buf))
-    args = (dev.table2, dev.C, dev.n_rows, bufj, jnp.int32(L), k,
-            jnp.int32(threshold), block)
-
-    # warmup / compile
+    # scalar-fetch round-trip baseline
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = int(tiny(jnp.arange(128)))
     t0 = time.time()
-    out = long_matches_pipeline(*args)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    for _ in range(5):
+        _ = int(tiny(jnp.arange(128)))
+    rtt = (time.time() - t0) / 5
 
-    # timed: device compute only
-    t0 = time.time()
-    for _ in range(reps):
-        out = long_matches_pipeline(*args)
-        jax.block_until_ready(out)
-    device_s = (time.time() - t0) / reps
-    device_bps = n / device_s
+    def run_find(keys2, dummy2, dummy_v, buf, true_len, threshold):
+        ms = ms2_core(keys2, dummy2, dummy_v, buf, k)
+        derand = derandomize_core(ms, k, threshold, true_len + (k - 1))
+        chars = translate_core(derand, k, threshold, true_len + (k - 1))
+        return jnp.sum(chars.astype(jnp.int32)) + jnp.sum(ms), chars
 
-    # one transfer (outside the metric) for the correctness check
-    t0 = time.time()
-    chars = np.asarray(out[0][:L].astype(jnp.int32)).astype(np.uint8)
-    fetch_s = time.time() - t0
+    def run_map(keys2, dummy2, dummy_v, keys3, buf, windows, true_len, threshold):
+        # the restructured map path: full-length value sweep + sparse
+        # 3-bit interval pass at the variant/gap candidate windows
+        cs_find, chars = run_find(keys2, dummy2, dummy_v, buf, true_len, threshold)
+        ms_w, l, r = ms3_windows_core(keys3, windows, k)
+        return cs_find + jnp.sum(ms_w) + jnp.sum(l) + jnp.sum(r), chars
 
+    map_fn = jax.jit(run_map)
+    find_fn = jax.jit(run_find)
+
+    # real candidate positions for the sparse interval pass: anchor windows
+    # (i, i+k] of every MS drop site, as the variant caller requests them
+    from kbo_tpu import native as native_mod
+
+    if native_mod.available():
+        ms_host, _ = native_mod.ms_stream(index, codes)
+    else:  # pragma: no cover - fallback when no native toolchain
+        ms_host = np.zeros(n, dtype=np.int64)
+    d = threshold
+    drops = np.flatnonzero(
+        (ms_host[1:] < ms_host[:-1]) & (ms_host[:-1] >= d) & (ms_host[1:] < d)
+    ) + 1
+    cand = np.unique((drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1))
+    cand = cand[cand < n]
+    padded = np.full(n + k - 1, INVALID, dtype=np.uint8)
+    padded[k - 1 :] = codes
+    windows_np = padded[cand[:, None] + np.arange(k)[None, :]]
+    Pb = 64
+    while Pb < windows_np.shape[0]:
+        Pb <<= 1
+    windows_np = np.concatenate(
+        [windows_np, np.full((Pb - windows_np.shape[0], k), INVALID, np.uint8)]
+    )
+    windows = jax.device_put(jnp.asarray(windows_np))
+
+    def timeit(fn, args):
+        t0 = time.time()
+        cs, _ = fn(*args)
+        cs = int(cs)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            cs = int(fn(*args)[0])
+        dt = (time.time() - t0) / reps - rtt
+        return compile_s, max(dt, 1e-9), cs
+
+    map_args = (
+        dev.keys2, dev.dummy2, dev.dummy_v, dev.keys3, buf, windows, Lj, thr
+    )
+    find_args = (dev.keys2, dev.dummy2, dev.dummy_v, buf, Lj, thr)
+    map_compile, map_s, _ = timeit(map_fn, map_args)
+    find_compile, find_s, _ = timeit(find_fn, find_args)
+    map_bps = n / map_s
+    find_bps = n / find_s
+
+    # native single-core baseline over the same stages (MS+intervals via the
+    # sequential extend/contract walk, then derandomize + translate)
     from kbo_tpu import native
 
     base_bps = None
+    mism = None
     if native.available():
         t0 = time.time()
         ms_b, _ = native.ms_stream(index, codes)
         d_b = native.derandomize(ms_b.astype(np.int32), k, threshold)
         chars_b = native.translate(d_b, k, threshold)
-        base_s = time.time() - t0
+        base_s = time.time() - t0  # ms (with intervals) + derandomize + translate
         base_bps = n / base_s
-        mism = int(np.count_nonzero(chars_b != chars))
+        # parity check on device: upload native chars, compare, fetch count
+        _, chars_dev = map_fn(*map_args)
+        chars_dev = chars_dev[k - 1 : k - 1 + L]
+        mism = int(
+            jnp.sum(
+                (chars_dev != jnp.asarray(chars_b)).astype(jnp.int32)
+            )
+        )
         if mism:
             print(
                 f"WARNING: device/native outputs differ at {mism} positions",
@@ -102,15 +169,21 @@ def main():
             )
 
     result = {
-        "metric": f"map-core bases/s (MS+derandomize+translate, k={k}, {platform})",
-        "value": round(device_bps),
+        "metric": f"map-core bases/s (MS+intervals+derandomize+translate, k={k}, {platform})",
+        "value": round(map_bps),
         "unit": "bases/s",
-        "vs_baseline": round(device_bps / base_bps, 2) if base_bps else None,
+        "vs_baseline": round(map_bps / base_bps, 2) if base_bps else None,
     }
     print(
-        f"# build={build_s:.1f}s compile={compile_s:.1f}s "
-        f"device={device_s*1e3:.1f}ms fetch={fetch_s:.2f}s"
-        + (f" native_single_core={base_bps:,.0f} bases/s" if base_bps else ""),
+        f"# build={build_s:.1f}s rtt={rtt*1e3:.0f}ms "
+        f"map: compile={map_compile:.1f}s device={map_s*1e3:.1f}ms "
+        f"find: compile={find_compile:.1f}s device={find_s*1e3:.1f}ms "
+        f"({find_bps/1e6:.1f} Mbases/s)"
+        + (
+            f" native_single_core={base_bps:,.0f} bases/s parity_mismatches={mism}"
+            if base_bps
+            else ""
+        ),
         file=sys.stderr,
     )
     print(json.dumps(result))

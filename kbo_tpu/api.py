@@ -40,7 +40,7 @@ def matches(
     threshold = derandomize.random_match_threshold(
         k, sbwt.n_kmers, 4, opts.max_error_prob
     )
-    noisy_ms, _ = engine.compute_ms(sbwt, encode_ascii(bytes(query_seq)))
+    noisy_ms = engine.compute_ms_values(sbwt, encode_ascii(bytes(query_seq)))
     derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
     return translate.translate_ms_vec(derand_ms, k, threshold)
 
@@ -95,11 +95,15 @@ def map_(
         k, query_sbwt.n_kmers, 4, opts.max_error_prob
     )
 
-    noisy_ms, ivals = engine.compute_ms(query_sbwt, encode_ascii(ref_seq))
+    ref_codes = encode_ascii(ref_seq)
+    noisy_ms = engine.compute_ms_values(query_sbwt, ref_codes)
     derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
     translation = translate.translate_ms_vec(derand_ms, k, threshold)
 
     if opts.fill_gaps:
+        # colex intervals are only read inside each gap's search window, so
+        # hand fill_gaps a lazy provider instead of a full interval pass
+        ivals = engine.SparseIntervals(query_sbwt, ref_codes)
         refined = gap_filling.fill_gaps(
             translation, noisy_ms, ivals, ref_seq, query_sbwt, threshold,
             opts.max_error_prob,

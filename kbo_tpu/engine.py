@@ -1,5 +1,5 @@
-"""MS backend dispatch: device (JAX) for real workloads, host oracle for
-tiny inputs and as a correctness fallback.
+"""MS backend dispatch: device (JAX sort-join) for real workloads, host
+oracle for tiny inputs and as a correctness fallback.
 
 Set ``KBO_TPU_BACKEND=host`` or ``device`` to force a backend.
 """
@@ -24,7 +24,7 @@ def _backend() -> str:
 
 
 def device_index(index: SbwtIndex):
-    """Memoized device-resident rank tables for an index."""
+    """Memoized device-resident sort-join key tables for an index."""
     from kbo_tpu.kernels.ms import DeviceIndex
 
     key = id(index)
@@ -51,11 +51,25 @@ def compute_ms(index: SbwtIndex, codes: np.ndarray):
     return query_ms_device(device_index(index), codes)
 
 
-def compute_ms_many(index: SbwtIndex, code_list: list[np.ndarray]):
-    """Batched MS for many short queries (e.g. per-candidate k-mers).
+def compute_ms_values(index: SbwtIndex, codes: np.ndarray):
+    """MS values only (no intervals) -- the fast 2-bit join path."""
+    codes = np.asarray(codes)
+    backend = _backend()
+    if backend == "host" or (backend == "auto" and codes.size < _HOST_CUTOFF):
+        from kbo_tpu.ops.ms import query_ms_codes
 
-    Each query is independent; all positions go through the kernel as one
-    packed batch. Returns a list of (ms, intervals) per query.
+        return query_ms_codes(index, codes)[0]
+
+    from kbo_tpu.kernels.ms import query_ms_values_device
+
+    return query_ms_values_device(device_index(index), codes)
+
+
+def compute_ms_values_many(index: SbwtIndex, code_list: list[np.ndarray]):
+    """Batched MS values for many short queries (e.g. per-candidate k-mers).
+
+    All queries go through the device join as one padded batch. Returns a
+    list of int64 ms arrays, one per query.
     """
     if not code_list:
         return []
@@ -64,16 +78,106 @@ def compute_ms_many(index: SbwtIndex, code_list: list[np.ndarray]):
     if backend == "host" or (backend == "auto" and total < _HOST_CUTOFF):
         from kbo_tpu.ops.ms import query_ms_codes
 
-        return [query_ms_codes(index, c) for c in code_list]
+        return [query_ms_codes(index, c)[0] for c in code_list]
 
-    from kbo_tpu.kernels.ms import ms_packed, pack_queries
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.ms import _ms2_jit
+    from kbo_tpu.pipeline import _make_buf, _flat_ms_to_batch, pad_batch
 
     dev = device_index(index)
-    buf, pos, lmax, offsets = pack_queries(
-        [np.asarray(c) for c in code_list], dev.k
+    codes, _ = pad_batch([np.asarray(c) for c in code_list], bucket=True)
+    Q, L = codes.shape
+    buf = _make_buf(jnp.asarray(codes), dev.k)
+    ms = _flat_ms_to_batch(
+        _ms2_jit(dev.keys2, dev.dummy2, dev.dummy_v, buf, dev.k), Q, L, dev.k
     )
-    ms, iv = ms_packed(dev, buf, pos, lmax)
-    return [
-        (ms[offsets[i] : offsets[i + 1]], iv[offsets[i] : offsets[i + 1]])
-        for i in range(len(code_list))
-    ]
+    ms = np.asarray(ms, dtype=np.int64)
+    return [ms[i, : c.size] for i, c in enumerate(code_list)]
+
+
+def compute_ms_intervals_at(
+    index: SbwtIndex, codes: np.ndarray, positions: np.ndarray
+):
+    """MS values + colex intervals at a sparse set of query positions.
+
+    The refinement layers (gap filling, variant calling) only read intervals
+    at data-dependent candidate positions; this avoids materializing the
+    full-length interval pass (SURVEY §7.3 two-phase sparse refinement).
+    Returns (ms int64 [P], intervals int64 [P, 2]) in `positions` order.
+    """
+    codes = np.asarray(codes)
+    positions = np.asarray(positions, dtype=np.int64)
+    backend = _backend()
+    if backend == "host" or (
+        backend == "auto" and positions.size * index.k < _HOST_CUTOFF
+    ):
+        from kbo_tpu.ops.ms import query_ms_codes
+
+        ms, iv = query_ms_codes(index, codes)
+        return ms[positions], iv[positions]
+
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.ms import INVALID, _ms3_windows_jit
+
+    dev = device_index(index)
+    k = dev.k
+    # window matrix on host (host-side gathers are cheap)
+    padded = np.full(codes.size + k - 1, INVALID, dtype=np.uint8)
+    padded[k - 1 :] = codes
+    offs = positions[:, None] + np.arange(k, dtype=np.int64)[None, :]
+    windows = padded[offs]  # [P, k]; row p = codes[pos-k+1 ..= pos]
+    P = positions.size
+    Pb = 64
+    while Pb < P:
+        Pb <<= 1
+    if Pb != P:
+        windows = np.concatenate(
+            [windows, np.full((Pb - P, k), INVALID, dtype=np.uint8)]
+        )
+    ms, l, r = _ms3_windows_jit(dev.keys3, jnp.asarray(windows), k)
+    ms = np.asarray(ms[:P], dtype=np.int64)
+    iv = np.stack(
+        [np.asarray(l[:P], dtype=np.int64), np.asarray(r[:P], dtype=np.int64)],
+        axis=1,
+    )
+    return ms, iv
+
+
+class SparseIntervals:
+    """Lazy, batched colex-interval provider indexed like an [n, 2] array.
+
+    Supports ``iv[pos, 0]`` / ``iv[pos, 1]`` and ``len(iv)`` so the
+    refinement code is agnostic between a fully materialized interval array
+    and this provider. Ranges must be prefetched (one device batch per
+    prefetch call); reading an unfetched position raises.
+    """
+
+    def __init__(self, index: SbwtIndex, codes: np.ndarray):
+        self._index = index
+        self._codes = np.asarray(codes)
+        self._cache: dict[int, tuple[int, int]] = {}
+
+    def __len__(self) -> int:
+        return self._codes.size
+
+    def prefetch(self, positions) -> None:
+        positions = np.asarray(
+            [p for p in np.atleast_1d(positions) if p not in self._cache],
+            dtype=np.int64,
+        )
+        if positions.size == 0:
+            return
+        _, iv = compute_ms_intervals_at(self._index, self._codes, positions)
+        for p, (l, r) in zip(positions.tolist(), iv.tolist()):
+            self._cache[p] = (l, r)
+
+    def __getitem__(self, key):
+        pos, col = key
+        entry = self._cache.get(int(pos))
+        if entry is None:
+            raise KeyError(
+                f"interval at position {pos} was not prefetched"
+            )
+        return entry[int(col)]

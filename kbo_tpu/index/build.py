@@ -79,6 +79,41 @@ def _rank_strings(strings: np.ndarray) -> np.ndarray:
     return ranks
 
 
+def pack_rows_2bit(rows: np.ndarray) -> np.ndarray:
+    """Colex-packed 2-bit keys: uint32 [W2, n], 16 chars per word.
+
+    Chunk t (t-th char from the END of the row) occupies bits
+    [30 - 2*(t%16), 31 - 2*(t%16)] of word t//16, so integer order of the
+    word tuple == colex order of the rows (for pure-ACGT rows). Char codes
+    1..4 map to 0..3; '$' (0) maps to an arbitrary chunk -- callers must cap
+    match lengths with per-row validity when dummies are packed this way.
+    """
+    n, k = rows.shape
+    W = (k + 15) // 16
+    keys = np.zeros((W, n), dtype=np.uint32)
+    chunks = ((rows[:, ::-1].astype(np.uint32) - 1) & 3)  # chunk t = col t
+    for t in range(k):
+        keys[t // 16] |= chunks[:, t] << (30 - 2 * (t % 16))
+    return keys
+
+
+def pack_rows_3bit(rows: np.ndarray) -> np.ndarray:
+    """Colex-packed 3-bit keys: uint32 [W3, n], 10 chars per word.
+
+    Chunk values are the raw codes (0='$' < 1..4=ACGT), so integer order ==
+    true colex order including dummy rows; chunk value 7 never occurs in an
+    index key and serves as the query-side never-match sentinel. Chunk t sits
+    at bits [27 - 3*(t%10) ..] of word t//10; the top 2 bits are zero.
+    """
+    n, k = rows.shape
+    W = (k + 9) // 10
+    keys = np.zeros((W, n), dtype=np.uint32)
+    chunks = rows[:, ::-1].astype(np.uint32)
+    for t in range(k):
+        keys[t // 10] |= chunks[:, t] << (27 - 3 * (t % 10))
+    return keys
+
+
 def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
     """Core construction from pre-encoded valid segments."""
     assert segments, "cannot build an index from empty input"
@@ -86,7 +121,17 @@ def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
     rows = _colex_sort_dedup(_window_matrix(segments, k))
     n = rows.shape[0]
     lcs = _lcs_array(rows)
-    n_kmers = int(np.count_nonzero(rows[:, 0] != 0))
+    real = rows[:, 0] != 0  # a '$' can only appear as a prefix
+    n_kmers = int(np.count_nonzero(real))
+
+    # packed sort-join keys (see kbo_tpu.kernels.ms): 2-bit keys over real
+    # rows for the value-only hot path; 3-bit keys over all rows for the
+    # interval path; dummy rows separately with their real-suffix lengths
+    keys2 = pack_rows_2bit(rows[real])
+    keys3 = pack_rows_3bit(rows)
+    dummies = rows[~real]
+    dummy2 = pack_rows_2bit(dummies)
+    dummy_v = (k - np.count_nonzero(dummies == 0, axis=1)).astype(np.int32)
 
     # C array from last-character boundaries (last column is non-decreasing).
     last = rows[:, -1]
@@ -127,6 +172,10 @@ def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
         cum=cum.astype(np.int32),
         C=C,
         lcs=lcs,
+        keys2=keys2,
+        keys3=keys3,
+        dummy2=dummy2,
+        dummy_v=dummy_v,
     )
 
 

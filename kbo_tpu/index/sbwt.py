@@ -47,9 +47,15 @@ class SbwtIndex:
     C: np.ndarray
     #: uint8 [n_rows]; longest common suffix with previous row
     lcs: np.ndarray
-    #: optional int32 [4**p, 2] colex intervals for all length-p prefixes
-    precalc: Optional[np.ndarray] = None
-    precalc_len: int = 0
+    #: uint32 [W2, n_kmers]; colex-packed 2-bit keys of the real (ACGT) rows
+    #: for the sort-join MS engine (see kbo_tpu.kernels.ms)
+    keys2: Optional[np.ndarray] = None
+    #: uint32 [W3, n_rows]; colex-packed 3-bit keys of all rows ('$'=0)
+    keys3: Optional[np.ndarray] = None
+    #: uint32 [W2, n_dummies]; 2-bit keys of the dummy ($-padded) rows
+    dummy2: Optional[np.ndarray] = None
+    #: int32 [n_dummies]; real-suffix length of each dummy row
+    dummy_v: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------ meta
     @property
@@ -175,19 +181,3 @@ class SbwtIndex:
             cur = nxt
         return out
 
-    # ------------------------------------------------------------ device
-    def device_arrays(self):
-        """Pack index tables for the JAX device path.
-
-        Returns a dict of numpy arrays; ``kbo_tpu.kernels`` converts them to
-        device arrays. ``table[base, w] = (bits, cum)`` so one row gather
-        serves one rank query.
-        """
-        table = np.stack(
-            [self.bits.view(np.int32), self.cum], axis=-1
-        )  # [4, n_words, 2] int32
-        return {
-            "table": table,
-            "C": self.C.astype(np.int32),
-            "n_rows": np.int32(self.n_rows),
-        }

@@ -15,7 +15,7 @@ import numpy as np
 
 from kbo_tpu.index.sbwt import SbwtIndex
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_index(prefix: str, index: SbwtIndex) -> str:
@@ -32,6 +32,10 @@ def save_index(prefix: str, index: SbwtIndex) -> str:
         cum=index.cum,
         C=index.C,
         lcs=index.lcs,
+        keys2=index.keys2,
+        keys3=index.keys3,
+        dummy2=index.dummy2,
+        dummy_v=index.dummy_v,
     )
     return path
 
@@ -51,4 +55,8 @@ def load_index(prefix: str) -> SbwtIndex:
             cum=data["cum"],
             C=data["C"],
             lcs=data["lcs"],
+            keys2=data["keys2"],
+            keys3=data["keys3"],
+            dummy2=data["dummy2"],
+            dummy_v=data["dummy_v"],
         )

@@ -1,31 +1,51 @@
-"""Batched matching statistics on device (JAX/XLA).
+"""Batched matching statistics on device via sorted k-mer join (JAX/XLA).
 
 TPU-native reformulation of the reference's sequential streaming MS walk
 (reference: sbwt crate ``StreamingIndex::matching_statistics``, consumed at
-src/index.rs:243-256): because MS is k-bounded, MS[i] depends only on the
-k-character window ending at i, so every position is computed independently by
-binary-searching the longest matching suffix length with fresh SBWT interval
-extensions. Monotonicity (a suffix of a row-suffix is a row-suffix) makes the
-search valid. No sequential scan, no LCS contraction; throughput is set by
-gather bandwidth and scales with the position batch, which is what TPUs want
-(SURVEY §7.3 "MS walk sequentiality").
+src/index.rs:243-256). Random-access rank queries -- the heart of the
+FM/SBWT walk -- are pathological on TPU (XLA serializes gathers), so the
+engine never gathers. Instead it exploits that the SBWT row set is exactly
+the set of k-windows of the indexed text:
 
-Cost per position: (1 + ceil(log2(k+1))) probes x k masked LF steps, each LF
-step = 2 rank queries. The rank table packs (bitvector word, popcount prefix)
-as one int32[...,2] row per 32-row block per base, so one row gather answers
-one rank query (see SbwtIndex.device_arrays).
+    MS[i] = the longest common *colex prefix* between the query window
+            ending at i (packed as an integer key, last char most
+            significant) and its nearest neighbors in the colex-sorted
+            reference key array.
 
-Query layout: each query is stored in a flat uint8 code buffer with k-1
-leading INVALID sentinels; the window ending at query position i spans
-buffer[base+i .. base+i+k-1]. Characters are gathered per LF step; no window
-matrix is materialized. Multiple queries concatenate into one buffer, which
-is also the unit the distributed layer shards.
+That turns MS into: pack window keys -> one big sort of [ref keys, query
+keys] -> nearest-reference propagation (log-depth doubling scans) ->
+XOR/count-leading-zeros for the common-prefix length -> sort back by
+position. Sorts and elementwise ops only; this is what TPUs are fast at.
+
+Two key spaces:
+
+- **2-bit keys** (16 chars/word, real ACGT rows only): the value-only hot
+  path (``find``/``matches``). Query windows are capped by ``limit[i]`` =
+  length of the valid-char run ending at i (capped at k), which makes
+  arbitrary chunk values at invalid/pre-start positions harmless: if the
+  integer common prefix reaches ``limit`` the true match IS ``limit``; below
+  it every compared chunk is a real char. Matches against the index's
+  $-padded dummy rows are added by a separate small pass over the D dummy
+  rows (D ~ k per input segment): exact per-dummy ``min(common, v_dummy)``.
+
+- **3-bit keys** (10 chars/word, all rows, '$'=0 < A..T=1..4, query
+  invalid/pad=7 never matches): true colex integer order including dummies.
+  Used when colex intervals are needed (``map``/``call`` refinement): a
+  second sorted pass over per-position *floor* (chunks below MS zeroed) and
+  *ceil* (chunks below MS maxed) keys yields the interval [l, r) of each
+  matched suffix by counting reference keys before each probe.
+
+Multi-word keys sort by LSD radix: W stable single-key ``lax.sort`` passes
+(one compiled sort reused per pass; a direct ``num_keys=W`` sort measured
+minutes of XLA:TPU compile time vs seconds for sort1).
+
+Golden vector to verify: query vs 18-base ref gives MS
+[1,2,2,3,2,2,3,2,1,2,3,1,1,1,2,3,1,2] (reference: src/index.rs:238-240).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -34,238 +54,354 @@ import numpy as np
 from kbo_tpu.index.sbwt import SbwtIndex
 
 INVALID = 255
+_BIG = np.int32(2**31 - 1)
 
 
-def _rank(table2: jax.Array, n_words, base: jax.Array, pos: jax.Array) -> jax.Array:
-    """rank_base(pos) for per-lane base (0..3) and position arrays."""
-    w = pos >> 5
-    b = (pos & 31).astype(jnp.uint32)
-    ent = jnp.take(table2, base * n_words + w, axis=0)  # [P, 2]
-    word = ent[..., 0].astype(jnp.uint32)
-    cum = ent[..., 1]
-    mask = (jnp.uint32(1) << b) - jnp.uint32(1)
-    return cum + jax.lax.population_count(word & mask).astype(jnp.int32)
+def w2_for_k(k: int) -> int:
+    return (k + 15) // 16
 
 
-def _extend(table2, C, n_words, l, r, c):
-    """LF step: interval [l, r) of P -> interval of P + c. Invalid c -> empty."""
-    valid = (c >= 1) & (c <= 4)
-    base = jnp.clip(c - 1, 0, 3).astype(jnp.int32)
-    c0 = jnp.take(C, base)
-    nl = c0 + _rank(table2, n_words, base, l)
-    nr = c0 + _rank(table2, n_words, base, r)
-    nl = jnp.where(valid, nl, 0)
-    nr = jnp.where(valid, nr, 0)
-    return nl, nr
+def w3_for_k(k: int) -> int:
+    return (k + 9) // 10
 
 
-def _probe(table2, C, n_words, n_rows, buf, pos, length, k: int):
-    """Interval of the window suffix of per-lane `length` ending at each pos.
+# --------------------------------------------------------------- packing
 
-    buf: uint8 code buffer; pos: int32 [P] window-start indices into buf
-    (window chars are buf[pos+t], t in [0, k)); length: int32 [P].
+
+def _shift_up_const(x, t: int, fill):
+    """y[p] = x[p - t] with the first t entries filled (static t)."""
+    if t == 0:
+        return x
+    return jnp.concatenate([jnp.full((t,), fill, dtype=x.dtype), x[:-t]])
+
+
+def pack_windows_2bit(buf, k: int):
+    """2-bit window keys for every position of a flat code buffer.
+
+    buf: uint8 [T] codes (1..4 real; anything else is a barrier). Returns
+    (words: list of W2 uint32 [T], limit: int32 [T]) where limit[p] =
+    min(k, length of the valid run ending at p).
     """
-    # derive the init from varying inputs (buf) so the loop carry is marked
-    # axis-varying under shard_map's per-shard type checking
-    zero = (jnp.take(buf, 0) * 0).astype(jnp.int32)
-    l0 = jnp.zeros_like(pos) + zero
-    r0 = l0 + jnp.int32(n_rows)
+    T = buf.shape[0]
+    c = ((buf.astype(jnp.uint32) - 1) & 3)
+    valid = (buf >= 1) & (buf <= 4)
+    idx = jnp.arange(T, dtype=jnp.int32)
+    last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
+    limit = jnp.minimum(jnp.int32(k), idx - last_bad)
+    words = []
+    for w in range(w2_for_k(k)):
+        acc = jnp.zeros(T, dtype=jnp.uint32)
+        for j in range(16):
+            t = w * 16 + j
+            if t >= k:
+                break
+            acc = acc | (_shift_up_const(c, t, 0) << (30 - 2 * j))
+        words.append(acc)
+    return words, limit
 
-    def body(t, lr):
-        l, r = lr
-        active = t >= (k - length)
-        c = jnp.take(buf, pos + t).astype(jnp.int32)
-        nl, nr = _extend(table2, C, n_words, l, r, c)
-        return (jnp.where(active, nl, l), jnp.where(active, nr, r))
 
-    return jax.lax.fori_loop(0, k, body, (l0, r0))
+def pack_windows_3bit(buf, k: int):
+    """3-bit window keys ('$'/invalid/pre-start -> never-match chunk 7)."""
+    T = buf.shape[0]
+    valid = (buf >= 1) & (buf <= 4)
+    c = jnp.where(valid, buf.astype(jnp.uint32), jnp.uint32(7))
+    words = []
+    for w in range(w3_for_k(k)):
+        acc = jnp.zeros(T, dtype=jnp.uint32)
+        for j in range(10):
+            t = w * 10 + j
+            if t >= k:
+                break
+            acc = acc | (_shift_up_const(c, t, 7) << (27 - 3 * j))
+        words.append(acc)
+    return words
 
 
-def ms_core(table2, C, n_rows, buf, pos, lmax, k: int):
-    """MS values + colex intervals for a batch of window positions.
+# ------------------------------------------------------- scan primitives
 
-    Returns (ms, l, r) int32 [P]; ms == 0 lanes carry [0, n_rows).
-    This is the un-jitted core, reusable inside fused pipelines.
+
+def _doubling_cummax(x):
+    """Inclusive left-to-right cummax, log-depth, compile-light."""
+    L = x.shape[0]
+    lowest = jnp.iinfo(x.dtype).min
+    s = 1
+    while s < L:
+        shifted = jnp.concatenate([jnp.full((s,), lowest, x.dtype), x[:-s]])
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
+
+
+def _propagate_nearest(vals, seen, reverse: bool):
+    """Per slot, the `vals` of the nearest flagged slot at-or-before it
+    (at-or-after if reverse). Returns (vals, found)."""
+    N = seen.shape[0]
+    s = 1
+    while s < N:
+        if reverse:
+            sh = lambda a, f: jnp.concatenate(
+                [a[s:], jnp.full((s,), f, a.dtype)]
+            )
+        else:
+            sh = lambda a, f: jnp.concatenate(
+                [jnp.full((s,), f, a.dtype), a[:-s]]
+            )
+        seen_sh = sh(seen, False)
+        vals = [jnp.where(seen, v, sh(v, 0)) for v in vals]
+        seen = seen | seen_sh
+        s <<= 1
+    return vals, seen
+
+
+# ------------------------------------------------------------ sort-join
+
+
+def _radix_sort(arrays, n_key_words: int):
+    """Stable LSD radix sort of parallel arrays by their first n_key_words
+    uint32 word arrays (most significant first)."""
+    ops = list(arrays)
+    for w in range(n_key_words - 1, -1, -1):
+        out = jax.lax.sort(tuple([ops[w]] + ops), num_keys=1, is_stable=True)
+        ops = list(out[1:])
+    return ops
+
+
+def _common2(a, b):
+    """Common 2-bit-chunk prefix length between word lists a and b."""
+    total = jnp.zeros(a[0].shape, dtype=jnp.int32)
+    alive = jnp.ones(a[0].shape, dtype=bool)
+    for w in range(len(a)):
+        x = a[w] ^ b[w]
+        nz = x != 0
+        cw = jnp.where(nz, jax.lax.clz(x) >> 1, 16).astype(jnp.int32)
+        total = total + jnp.where(alive, cw, 0)
+        alive = alive & ~nz
+    return total
+
+
+def _common3(a, b):
+    """Common 3-bit-chunk prefix length between word lists a and b."""
+    total = jnp.zeros(a[0].shape, dtype=jnp.int32)
+    alive = jnp.ones(a[0].shape, dtype=bool)
+    for w in range(len(a)):
+        x = a[w] ^ b[w]
+        nz = x != 0
+        clz = jax.lax.clz(x).astype(jnp.int32)
+        cw = jnp.where(nz, (clz - 2) // 3, 10)
+        total = total + jnp.where(alive, cw, 0)
+        alive = alive & ~nz
+    return total
+
+
+def _neighbor_common(ref_words, q_words, q_meta, common_fn):
+    """Max common-prefix length of each query key with any reference key.
+
+    ref_words/q_words: lists of W uint32 arrays ([n] and [L]); q_meta:
+    int32 [L] identifiers (< 2**31 - 1). Returns int32 [L] in q order.
     """
-    n_words = table2.shape[0] // 4
-    P = pos.shape[0]
-    best_l = jnp.zeros(P, dtype=jnp.int32)
-    best_r = jnp.full(P, n_rows, dtype=jnp.int32)
-
-    # probe 0: full admissible length (most lanes finish here on
-    # high-identity data)
-    l, r = _probe(table2, C, n_words, n_rows, buf, pos, lmax, k)
-    hit = l < r
-    lo = jnp.where(hit, lmax, jnp.zeros_like(lmax))
-    hi = jnp.where(hit, lmax, lmax - 1)
-    best_l = jnp.where(hit, l, best_l)
-    best_r = jnp.where(hit, r, best_r)
-
-    # binary search over the remaining range [lo, hi]
-    n_probes = max(1, math.ceil(math.log2(k + 1)))
-    for _ in range(n_probes):
-        mid = (lo + hi + 1) >> 1
-        need = lo < hi
-        l, r = _probe(
-            table2, C, n_words, n_rows, buf, pos, jnp.where(need, mid, 0), k
-        )
-        hit = need & (l < r)
-        best_l = jnp.where(hit, l, best_l)
-        best_r = jnp.where(hit, r, best_r)
-        lo = jnp.where(hit, mid, lo)
-        hi = jnp.where(need & ~hit, mid - 1, hi)
-
-    return lo, best_l, best_r
+    W = len(ref_words)
+    n = ref_words[0].shape[0]
+    L = q_words[0].shape[0]
+    words = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
+    meta = jnp.concatenate([jnp.full((n,), _BIG, jnp.int32), q_meta])
+    ops = _radix_sort(words + [meta], W)
+    sw, smeta = ops[:W], ops[W]
+    is_ref = smeta == _BIG
+    pv, pok = _propagate_nearest(sw, is_ref, reverse=False)
+    nv, nok = _propagate_nearest(sw, is_ref, reverse=True)
+    c_prev = jnp.where(pok, common_fn(sw, pv), 0)
+    c_next = jnp.where(nok, common_fn(sw, nv), 0)
+    c = jnp.maximum(c_prev, c_next)
+    back = jax.lax.sort((smeta, c), num_keys=1, is_stable=False)
+    return back[1][:L]
 
 
-ms_kernel = jax.jit(ms_core, static_argnames=("k",))
+def _dummy_ms(q_words, limit, dummy2, dummy_v):
+    """Best min(common-2bit-prefix, v) against the dummy rows; [L] int32."""
+    D = dummy_v.shape[0]
+    L = q_words[0].shape[0]
+    if D == 0:
+        return jnp.zeros(L, dtype=jnp.int32)
+    W = len(q_words)
+    stacked = jnp.stack(dummy2, axis=1)  # [D, W] after transpose of [W, D]
+
+    def body(best, dw):
+        d_words, v = dw
+        c = _common2(q_words, [jnp.broadcast_to(d_words[w], (L,)) for w in range(W)])
+        return jnp.maximum(best, jnp.minimum(c, v)), None
+
+    # derive the init from a varying input so the carry stays axis-varying
+    # under shard_map's per-shard type checking
+    best0 = (q_words[0] * 0).astype(jnp.int32)
+    best, _ = jax.lax.scan(
+        body,
+        best0,
+        (stacked, dummy_v.astype(jnp.int32)),
+    )
+    return jnp.minimum(best, limit)
 
 
-def ms_long_core(table2, C, n_rows, buf, true_len, k: int, block: int):
-    """MS over all positions of ONE long query in a single dispatch.
+def ms2_core(keys2, dummy2, dummy_v, buf, k: int):
+    """Value-only MS for every position of a flat code buffer (2-bit join).
 
-    buf: uint8 [k-1 + Lp] with Lp a multiple of `block`; position blocks run
-    under lax.map (sequential on device) to bound working memory. One device
-    dispatch regardless of length -- per-dispatch latency is significant on
-    remote-attached accelerators.
+    keys2: uint32 [W2, n_kmers]; dummy2: uint32 [W2, D]; dummy_v: int32 [D];
+    buf: uint8 [T] with k-1 leading pad entries per query segment. Returns
+    ms int32 [T] (entries at pad positions are garbage).
     """
-    Lp = buf.shape[0] - (k - 1)
-    nb = Lp // block
-
-    def do_block(i):
-        pos = i * block + jnp.arange(block, dtype=jnp.int32)
-        lmax = jnp.minimum(jnp.int32(k), pos + 1)
-        lmax = jnp.where(pos < true_len, lmax, 0)
-        return ms_core(table2, C, n_rows, buf, pos, lmax, k)
-
-    ms, l, r = jax.lax.map(do_block, jnp.arange(nb, dtype=jnp.int32))
-    return ms.reshape(-1), l.reshape(-1), r.reshape(-1)
+    q_words, limit = pack_windows_2bit(buf, k)
+    T = buf.shape[0]
+    meta = jnp.arange(T, dtype=jnp.int32)
+    ref_words = [keys2[w] for w in range(keys2.shape[0])]
+    c = _neighbor_common(ref_words, q_words, meta, _common2)
+    ms = jnp.minimum(c, limit)
+    d2 = [dummy2[w] for w in range(dummy2.shape[0])]
+    ms = jnp.maximum(ms, _dummy_ms(q_words, limit, d2, dummy_v))
+    return ms
 
 
-ms_long_kernel = jax.jit(ms_long_core, static_argnames=("k", "block"))
+def ms3_core(keys3, buf, k: int):
+    """MS values for every buffer position via the 3-bit (all-rows) join."""
+    q_words = pack_windows_3bit(buf, k)
+    T = buf.shape[0]
+    meta = jnp.arange(T, dtype=jnp.int32)
+    ref_words = [keys3[w] for w in range(keys3.shape[0])]
+    c = _neighbor_common(ref_words, q_words, meta, _common3)
+    return jnp.minimum(c, jnp.int32(k))
 
 
-def pad_long(codes: np.ndarray, k: int, block: int = 1 << 16):
-    """Sentinel-pad one query for the long-path kernels; returns (buf, L)."""
-    L = int(codes.size)
-    b = block
-    while b > L and b > 1024:
-        b >>= 1
-    nb = (L + b - 1) // b
-    # bucket the block count to powers of two to bound compile variants
-    nb2 = 1
-    while nb2 < nb:
-        nb2 <<= 1
-    Lp = nb2 * b
-    buf = np.full(k - 1 + Lp, INVALID, dtype=np.uint8)
-    buf[k - 1 : k - 1 + L] = np.asarray(codes, dtype=np.uint8)
-    return buf, L, b
+def _intervals_from_keys(keys3, q_words, ms):
+    """Colex intervals [l, r) of the length-ms prefixes of the given 3-bit
+    query keys. ms == 0 yields the empty-pattern interval [0, n_rows)."""
+    W = len(q_words)
+    P = q_words[0].shape[0]
+    n = keys3.shape[1]
+    floors, ceils = [], []
+    for w in range(W):
+        keep = jnp.clip(ms - w * 10, 0, 10).astype(jnp.uint32)
+        low_bits = jnp.uint32(30) - 3 * keep
+        ones = (jnp.uint32(1) << low_bits) - 1
+        floors.append(q_words[w] & ~ones)
+        ceils.append(floors[w] | ones)
+    # stable order [floor, ceil, ref]: a floor probe sorts before equal
+    # reference keys (they belong to its interval); a ceil probe can never
+    # equal a reference key (it contains chunk value 7)
+    words = [
+        jnp.concatenate([floors[w], ceils[w], keys3[w]]) for w in range(W)
+    ]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    meta = jnp.concatenate([idx, idx + P, jnp.full((n,), _BIG, jnp.int32)])
+    ops = _radix_sort(words + [meta], W)
+    smeta = ops[W]
+    is_ref = (smeta == _BIG).astype(jnp.int32)
+    before = jnp.cumsum(is_ref) - is_ref  # refs strictly before each slot
+    back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
+    vals = back[1]
+    return vals[:P], vals[P : 2 * P]
+
+
+def intervals3_core(keys3, buf, ms, k: int):
+    """Colex intervals [l, r) of each buffer position's matched suffix."""
+    return _intervals_from_keys(keys3, pack_windows_3bit(buf, k), ms)
+
+
+# ---------------------------------------------------------- jit wrappers
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ms2_jit(keys2, dummy2, dummy_v, buf, k):
+    return ms2_core(keys2, dummy2, dummy_v, buf, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ms3_iv_jit(keys3, buf, k):
+    ms = ms3_core(keys3, buf, k)
+    l, r = intervals3_core(keys3, buf, ms, k)
+    return ms, l, r
+
+
+def ms3_windows_core(keys3, windows, k: int):
+    """MS + intervals for a [P, k] matrix of window codes (3-bit join).
+
+    Each row is one k-window (left-padded with INVALID where the window
+    hangs over the query start). This is the sparse interval path: the
+    refinement layers (gap filling, variant calling) only ever read
+    intervals at data-dependent candidate positions, so the full-length
+    interval pass is never materialized (SURVEY §7.3 two-phase sparse
+    refinement).
+    """
+    P = windows.shape[0]
+    buf = windows.reshape(-1)
+    all_words = pack_windows_3bit(buf, k)
+    # the key at the last position of each row covers exactly that row
+    q_words = [w.reshape(P, k)[:, k - 1] for w in all_words]
+    meta = jnp.arange(P, dtype=jnp.int32)
+    ref_words = [keys3[w] for w in range(keys3.shape[0])]
+    ms = jnp.minimum(
+        _neighbor_common(ref_words, q_words, meta, _common3), jnp.int32(k)
+    )
+    l, r = _intervals_from_keys(keys3, q_words, ms)
+    return ms, l, r
+
+
+_ms3_windows_jit = jax.jit(ms3_windows_core, static_argnames=("k",))
 
 
 class DeviceIndex:
-    """An SbwtIndex's rank tables resident on a device."""
+    """An SbwtIndex's sort-join key tables resident on a device."""
 
     def __init__(self, index: SbwtIndex, device=None):
-        arrs = index.device_arrays()
-        table = np.ascontiguousarray(arrs["table"].reshape(-1, 2))
+        assert index.keys2 is not None, "index built without join keys"
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        self.table2 = put(table)
-        self.C = put(arrs["C"])
+        self.keys2 = put(np.ascontiguousarray(index.keys2))
+        self.keys3 = put(np.ascontiguousarray(index.keys3))
+        self.dummy2 = put(np.ascontiguousarray(index.dummy2))
+        self.dummy_v = put(np.ascontiguousarray(index.dummy_v))
         self.n_rows = int(index.n_rows)
+        self.n_kmers = int(index.n_kmers)
         self.k = int(index.k)
 
 
-def pack_queries(code_list: list[np.ndarray], k: int):
-    """Concatenate queries into one padded buffer.
+def _bucket(n: int) -> int:
+    b = 1024
+    while b < n:
+        b <<= 1
+    return b
 
-    Returns (buf uint8 [T], pos int32 [P], lmax int32 [P], offsets) where P =
-    total query length and offsets[i] slices query i's results.
+
+def make_flat_buffer(codes: np.ndarray, k: int):
+    """Sentinel-pad one query into a bucketed flat buffer.
+
+    Returns (buf uint8 [k-1+Lp], L). Window position i of the query is
+    buffer position k-1+i.
     """
-    bufs, poss, lmaxs, offsets = [], [], [], [0]
-    base = 0
-    pad = np.full(k - 1, INVALID, dtype=np.uint8)
-    for c in code_list:
-        c = np.asarray(c, dtype=np.uint8)
-        bufs.append(pad)
-        bufs.append(c)
-        poss.append(base + np.arange(c.size, dtype=np.int32))
-        lmaxs.append(np.minimum(k, np.arange(1, c.size + 1)).astype(np.int32))
-        base += c.size + k - 1
-        offsets.append(offsets[-1] + c.size)
-    return (
-        np.concatenate(bufs),
-        np.concatenate(poss),
-        np.concatenate(lmaxs),
-        offsets,
-    )
+    L = int(codes.size)
+    Lp = _bucket(L)
+    buf = np.full(k - 1 + Lp, INVALID, dtype=np.uint8)
+    buf[k - 1 : k - 1 + L] = np.asarray(codes, dtype=np.uint8)
+    return buf, L
 
 
-def _bucket(n: int, blocks=(1024, 4096, 16384, 65536)) -> int:
-    for b in blocks:
-        if n <= b:
-            return b
-    return blocks[-1]
+def query_ms_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
+    """MS values + colex intervals for one encoded query (3-bit join).
 
-
-def ms_packed(
-    dev: DeviceIndex,
-    buf: np.ndarray,
-    pos: np.ndarray,
-    lmax: np.ndarray,
-    block: int | None = None,
-):
-    """Run the MS kernel over a packed query buffer, chunking positions.
-
-    Pads the buffer and each position chunk to bucketed sizes so the number
-    of compiled kernel variants stays small.
-    """
-    k = dev.k
-    P = pos.size
-    block = block or min(_bucket(P), 65536)
-    # bucket-pad the shared buffer (tail sentinels are never dereferenced by
-    # in-range positions beyond pos+k-1)
-    T = _bucket(buf.size + k, tuple(1 << s for s in range(10, 27)))
-    bufp = np.full(T, INVALID, dtype=np.uint8)
-    bufp[: buf.size] = buf
-    bufj = jnp.asarray(bufp)
-
-    ms = np.empty(P, dtype=np.int64)
-    iv = np.empty((P, 2), dtype=np.int64)
-    for s in range(0, P, block):
-        e = min(P, s + block)
-        p = pos[s:e]
-        lm = lmax[s:e]
-        if e - s < block:
-            p = np.pad(p, (0, block - (e - s)))
-            lm = np.pad(lm, (0, block - (e - s)))
-        m, l, r = ms_kernel(dev.table2, dev.C, dev.n_rows, bufj, p, lm, k)
-        ms[s:e] = np.asarray(m[: e - s], dtype=np.int64)
-        iv[s:e, 0] = np.asarray(l[: e - s], dtype=np.int64)
-        iv[s:e, 1] = np.asarray(r[: e - s], dtype=np.int64)
-    return ms, iv
-
-
-def query_ms_device(
-    index: SbwtIndex | DeviceIndex, codes: np.ndarray, block: int | None = None
-):
-    """Device-computed MS for one encoded query.
-
-    Drop-in replacement for :func:`kbo_tpu.ops.ms.query_ms_codes`. Large
-    queries take the single-dispatch long path.
+    Drop-in device replacement for :func:`kbo_tpu.ops.ms.query_ms_codes`:
+    returns (ms int64 [L], intervals int64 [L, 2]).
     """
     dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
-    codes = np.asarray(codes)
-    if codes.size > (1 << 16):
-        buf, L, b = pad_long(codes, dev.k)
-        ms, l, r = ms_long_kernel(
-            dev.table2, dev.C, dev.n_rows, jnp.asarray(buf), jnp.int32(L),
-            dev.k, b,
-        )
-        ms_np = np.asarray(ms[:L], dtype=np.int64)
-        iv = np.stack(
-            [np.asarray(l[:L], dtype=np.int64), np.asarray(r[:L], dtype=np.int64)],
-            axis=1,
-        )
-        return ms_np, iv
-    buf, pos, lmax, _ = pack_queries([codes], dev.k)
-    return ms_packed(dev, buf, pos, lmax, block=block)
+    buf, L = make_flat_buffer(np.asarray(codes), dev.k)
+    ms, l, r = _ms3_iv_jit(dev.keys3, jnp.asarray(buf), dev.k)
+    s = slice(dev.k - 1, dev.k - 1 + L)
+    ms_np = np.asarray(ms[s], dtype=np.int64)
+    iv = np.stack(
+        [np.asarray(l[s], dtype=np.int64), np.asarray(r[s], dtype=np.int64)],
+        axis=1,
+    )
+    return ms_np, iv
+
+
+def query_ms_values_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
+    """MS values only for one encoded query (fast 2-bit join)."""
+    dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
+    buf, L = make_flat_buffer(np.asarray(codes), dev.k)
+    ms = _ms2_jit(dev.keys2, dev.dummy2, dev.dummy_v, jnp.asarray(buf), dev.k)
+    return np.asarray(ms[dev.k - 1 : dev.k - 1 + L], dtype=np.int64)

@@ -13,7 +13,8 @@ full-k branch is a constant, and the partial-match branch reduces (using the
 +1-Lipschitz property of true matching statistics, noisy[i+1] <= noisy[i]+1)
 to a "point function" g(x) = p if x == q else r. Point functions with
 constants and identity are closed under composition, so the whole pass is a
-``jax.lax.associative_scan`` -- O(L) work, O(log L) depth, fully parallel.
+parallel suffix scan (Hillis-Steele doubling) -- O(log L) depth, fully
+parallel.
 The host oracle (ops/derandomize.py) remains the semantic reference; the
 equivalence holds for any +1-Lipschitz input, which true MS vectors are.
 
@@ -102,58 +103,54 @@ def derandomize_core(noisy: jax.Array, k, threshold, true_len=None) -> jax.Array
     return phi + idx
 
 
-# combine for reversed scans: the current (left) element applies last
-_combine_rev = lambda acc, cur: _compose(cur, acc)
+_IDENT = (True, False, 0, 0, 0)
 
-_SCAN_BLOCK = 1 << 15
+
+def _shift_up(x, s: int, fill):
+    """x[i] <- x[i + s] (out-of-range filled), static s."""
+    return jnp.concatenate(
+        [x[s:], jnp.full((s,), fill, dtype=x.dtype)]
+    )
 
 
 def _suffix_scan(elems):
-    """Inclusive right-to-left composition scan, blocked two-level.
+    """Inclusive right-to-left composition scan via Hillis-Steele doubling.
 
-    out[i] = f_i o f_{i+1} o ... o f_{L-1}. A flat associative_scan's compile
-    time grows with L (an issue with remote XLA compiles); reshaping to
-    [nb, B] keeps the op count independent of L: per-block suffix scans, a
-    tiny scan over block summaries, then one combine.
+    out[i] = f_i o f_{i+1} o ... o f_{L-1} in ceil(log2(L)) compose steps,
+    each a statically-shifted elementwise combine. O(L log L) VPU work (still
+    trivial next to the MS kernel) but a small, shallow HLO graph:
+    jax.lax.associative_scan's recursive odd/even slicing produced strided
+    ops whose XLA:TPU compile time at L=2M ran to minutes.
     """
     L = elems[0].shape[0]
-    B = _SCAN_BLOCK
-    if L <= B or L % B != 0:
-        return jax.lax.associative_scan(_combine_rev, elems, reverse=True)
-    blocked = tuple(x.reshape(-1, B) for x in elems)
-    local = jax.lax.associative_scan(_combine_rev, blocked, reverse=True, axis=1)
-    summaries = tuple(x[:, 0] for x in local)
-    suf = jax.lax.associative_scan(_combine_rev, summaries, reverse=True)
-    # exclusive suffix per block: composition of all blocks strictly after i
-    ident = (jnp.bool_(True), jnp.bool_(False), jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    suf_excl = tuple(
-        jnp.concatenate([x[1:], jnp.broadcast_to(i, (1,))])
-        for x, i in zip(suf, ident)
-    )
-    out = _compose(
-        tuple(x for x in local),
-        tuple(jnp.broadcast_to(x[:, None], local[0].shape) for x in suf_excl),
-    )
-    # composition order: out[i,j] = local[i,j] o suffix_of_later_blocks
-    return tuple(x.reshape(L) for x in out)
+    x = elems
+    s = 1
+    while s < L:
+        shifted = tuple(
+            _shift_up(a, s, f) for a, f in zip(x, _IDENT)
+        )
+        # out[i] = x[i] o x[i + s]: current (left) element applies last
+        x = _compose(x, shifted)
+        s <<= 1
+    return x
 
 
 derandomize_kernel = jax.jit(derandomize_core)
 
 
-def _blocked_cummax(x):
-    """cummax with L-independent compile cost (two-level blocked scan)."""
+def _doubling_cummax(x):
+    """Inclusive left-to-right cummax via Hillis-Steele doubling (see
+    _suffix_scan for why not lax.cummax/associative_scan at large L)."""
     L = x.shape[0]
-    B = _SCAN_BLOCK
-    if L <= B or L % B != 0:
-        return jax.lax.cummax(x)
-    xb = x.reshape(-1, B)
-    local = jax.lax.cummax(xb, axis=1)
-    shifted = jnp.concatenate(
-        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), local[:-1, -1]]
-    )
-    prefix = jax.lax.cummax(shifted)
-    return jnp.maximum(local, prefix[:, None]).reshape(L)
+    lowest = jnp.iinfo(x.dtype).min
+    s = 1
+    while s < L:
+        shifted = jnp.concatenate(
+            [jnp.full((s,), lowest, dtype=x.dtype), x[:-s]]
+        )
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
 
 
 def translate_core(derand: jax.Array, k, threshold, true_len=None) -> jax.Array:
@@ -172,7 +169,7 @@ def translate_core(derand: jax.Array, k, threshold, true_len=None) -> jax.Array:
     rr_prev = jnp.roll(rr, 1).at[0].set(False)
     A = (idx > 1) & (idx < true_len - 1) & rr_prev
     # skip[p] = A[p] & ~skip[p-1]  => parity within maximal runs of A
-    last_false = _blocked_cummax(jnp.where(A, jnp.int32(-1), idx))
+    last_false = _doubling_cummax(jnp.where(A, jnp.int32(-1), idx))
     skip = A & (((idx - last_false) & 1) == 1)
 
     x_char = (nxt == 1) & (prev > 0)

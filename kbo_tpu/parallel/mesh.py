@@ -37,16 +37,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
-def _sharded_matches(table2, C, n_rows, codes, lengths, k: int, threshold, mesh):
+def _sharded_matches(
+    keys2, dummy2, dummy_v, codes, lengths, k: int, threshold, mesh
+):
     fn = jax.shard_map(
-        lambda t2, c, co, le, th: matches_pipeline_core(
-            t2, c, n_rows, co, le, k, th
+        lambda k2, d2, dv, co, le, th: matches_pipeline_core(
+            k2, d2, dv, co, le, k, th
         ),
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data"), P()),
+        in_specs=(P(), P(), P(), P("data"), P("data"), P()),
         out_specs=P("data"),
     )
-    return fn(table2, C, codes, lengths, threshold)
+    return fn(keys2, dummy2, dummy_v, codes, lengths, threshold)
 
 
 def matches_batch_sharded(
@@ -73,10 +75,10 @@ def matches_batch_sharded(
     dev = device_index(index)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
-    chars, ms, l, r = _sharded_matches(
-        jax.device_put(dev.table2, repl),
-        jax.device_put(dev.C, repl),
-        dev.n_rows,
+    chars, ms = _sharded_matches(
+        jax.device_put(dev.keys2, repl),
+        jax.device_put(dev.dummy2, repl),
+        jax.device_put(dev.dummy_v, repl),
         jax.device_put(jnp.asarray(codes), shard),
         jax.device_put(jnp.asarray(lengths), shard),
         dev.k,

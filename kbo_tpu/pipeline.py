@@ -1,9 +1,11 @@
-"""Fused batched device pipeline: MS -> derandomize -> translate in one jit.
+"""Fused batched device pipelines: MS -> derandomize -> translate in one jit.
 
-This is the throughput ("kbo find/matches") hot path and the unit the
-distributed layer shards: a [Q, L] batch of padded, 2-bit-encodable queries
-goes in; alignment characters (and MS values/intervals for the map path) come
-out, with no host round trips between stages.
+The throughput ("kbo find/matches") hot path and the unit the distributed
+layer shards: a [Q, L] batch of padded queries goes in; alignment characters
+(and MS values, plus colex intervals on the map path) come out with no host
+round trips between stages. MS comes from the sort-join engine
+(kbo_tpu.kernels.ms); derandomize/translate are the parallel reformulations
+in kbo_tpu.kernels.postprocess.
 """
 
 from __future__ import annotations
@@ -14,94 +16,89 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kbo_tpu.kernels.ms import INVALID, ms_core, ms_long_core, pad_long
-from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
 from kbo_tpu.index.sbwt import SbwtIndex
+from kbo_tpu.kernels.ms import (
+    INVALID,
+    DeviceIndex,
+    intervals3_core,
+    ms2_core,
+    ms3_core,
+)
+from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
 
 
-def matches_pipeline_core(table2, C, n_rows, codes, lengths, k: int, threshold):
-    """codes: uint8 [Q, L] (tail-padded with INVALID); lengths: int32 [Q].
+def _flat_ms_to_batch(ms_flat, Q: int, L: int, k: int):
+    stride = L + k - 1
+    return ms_flat.reshape(Q, stride)[:, k - 1 :]
 
-    Returns (chars uint8 [Q, L], ms int32 [Q, L], l int32 [Q, L], r [Q, L]).
-    Positions past each query's length are garbage; mask with lengths.
-    """
+
+def _make_buf(codes, k: int):
     Q, L = codes.shape
     pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
-    buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
-    stride = L + k - 1
-    qi = jnp.arange(Q, dtype=jnp.int32)
-    li = jnp.arange(L, dtype=jnp.int32)
-    pos = (qi[:, None] * stride + li[None, :]).reshape(-1)
-    lmax = jnp.minimum(jnp.int32(k), li + 1)[None, :]
-    lmax = jnp.where(li[None, :] < lengths[:, None], lmax, 0).reshape(-1)
+    return jnp.concatenate([pad, codes], axis=1).reshape(-1)
 
-    ms, l, r = ms_core(table2, C, n_rows, buf, pos, lmax, k)
-    ms = ms.reshape(Q, L)
 
+def matches_pipeline_core(
+    keys2, dummy2, dummy_v, codes, lengths, k: int, threshold
+):
+    """codes: uint8 [Q, L] (tail-padded with INVALID); lengths: int32 [Q].
+
+    Returns (chars uint8 [Q, L], ms int32 [Q, L]). Positions past each
+    query's length are garbage; mask with lengths.
+    """
+    Q, L = codes.shape
+    buf = _make_buf(codes, k)
+    ms = _flat_ms_to_batch(ms2_core(keys2, dummy2, dummy_v, buf, k), Q, L, k)
     derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
         ms, lengths
     )
     chars = jax.vmap(lambda d, n: translate_core(d, k, threshold, n))(
         derand, lengths
     )
-    return chars, ms, l.reshape(Q, L), r.reshape(Q, L)
+    return chars, ms
 
 
 matches_pipeline = jax.jit(matches_pipeline_core, static_argnames=("k",))
 
 
-def long_matches_core(
-    table2, C, n_rows, buf, true_len, k: int, threshold, block: int
-):
-    """Fused MS -> derandomize -> translate for ONE long sequence.
+def map_pipeline_core(keys3, codes, lengths, k: int, threshold):
+    """Full map-path device stage: MS + intervals + derandomize + translate.
 
-    buf: uint8 [k-1 + Lp] (k-1 leading sentinels, tail-padded so that
-    Lp = n_blocks * block); true_len: traced actual length. Position blocks
-    run under lax.map to bound working memory while keeping one compile.
-    Returns (chars, ms, l, r) each [Lp]; entries past true_len are garbage.
+    codes: uint8 [Q, L]; returns (chars [Q, L] uint8, ms, l, r int32
+    [Q, L]). Uses the 3-bit all-rows join so dummy-row matches and colex
+    intervals match the reference's streaming search exactly.
     """
-    ms, l, r = ms_long_core(table2, C, n_rows, buf, true_len, k, block)
-    derand = derandomize_core(ms, k, threshold, true_len)
-    chars = translate_core(derand, k, threshold, true_len)
+    Q, L = codes.shape
+    buf = _make_buf(codes, k)
+    ms_flat = ms3_core(keys3, buf, k)
+    l_flat, r_flat = intervals3_core(keys3, buf, ms_flat, k)
+    ms = _flat_ms_to_batch(ms_flat, Q, L, k)
+    l = _flat_ms_to_batch(l_flat, Q, L, k)
+    r = _flat_ms_to_batch(r_flat, Q, L, k)
+    derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
+        ms, lengths
+    )
+    chars = jax.vmap(lambda d, n: translate_core(d, k, threshold, n))(
+        derand, lengths
+    )
     return chars, ms, l, r
 
 
-long_matches_pipeline = jax.jit(
-    long_matches_core, static_argnames=("k", "block")
-)
+map_pipeline = jax.jit(map_pipeline_core, static_argnames=("k",))
 
 
-def long_matches_device(dev, codes: np.ndarray, threshold: int, block: int = 1 << 20):
-    """Host wrapper: fused pipeline over one long encoded sequence.
-
-    Returns (chars uint8 [L], ms int64 [L], intervals int64 [L, 2]).
-    """
-    k = dev.k
-    buf, L, block = pad_long(np.asarray(codes), k, block=min(block, 1 << 16))
-    chars, ms, l, r = long_matches_pipeline(
-        dev.table2,
-        dev.C,
-        dev.n_rows,
-        jnp.asarray(buf),
-        jnp.int32(L),
-        k,
-        jnp.int32(threshold),
-        block,
-    )
-    # fetch chars as int32: uint8 device->host transfers are pathologically
-    # slow through the axon relay (observed 0.5MB taking minutes)
-    chars = np.asarray(chars[:L].astype(jnp.int32)).astype(np.uint8)
-    ms_np = np.asarray(ms[:L], dtype=np.int64)
-    iv = np.stack(
-        [np.asarray(l[:L], dtype=np.int64), np.asarray(r[:L], dtype=np.int64)],
-        axis=1,
-    )
-    return chars, ms_np, iv
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
 
 
-def pad_batch(code_list: list[np.ndarray], L: int | None = None):
+def pad_batch(code_list: list[np.ndarray], L: int | None = None, bucket=False):
     """Stack encoded queries into a [Q, L] padded batch + lengths."""
     L = L or max(c.size for c in code_list)
+    if bucket:
+        L = _bucket(L)
     Q = len(code_list)
     codes = np.full((Q, L), INVALID, dtype=np.uint8)
     lengths = np.zeros(Q, dtype=np.int32)
@@ -118,11 +115,11 @@ def matches_batch(
     from kbo_tpu.engine import device_index
 
     dev = device_index(index)
-    codes, lengths = pad_batch(code_list)
-    chars, _, _, _ = matches_pipeline(
-        dev.table2,
-        dev.C,
-        dev.n_rows,
+    codes, lengths = pad_batch(code_list, bucket=True)
+    chars, _ = matches_pipeline(
+        dev.keys2,
+        dev.dummy2,
+        dev.dummy_v,
         jnp.asarray(codes),
         jnp.asarray(lengths),
         dev.k,

@@ -121,6 +121,9 @@ def left_extend_over_gap(
     search_start = min(gap_end + search_radius, len(ref_seq) - 1)
     search_end = gap_end + right_overlap_req
 
+    if hasattr(ivals, "prefetch"):  # lazy sparse provider (engine.SparseIntervals)
+        ivals.prefetch(range(search_end, search_start + 1))
+
     kmer = b""
     kmer_idx = search_start
     while kmer_idx >= search_end:

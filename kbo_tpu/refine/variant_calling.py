@@ -143,7 +143,8 @@ def call_variants(
 
     query = bytes(query)
     n = len(query)
-    ms, ivals = engine.compute_ms(sbwt_ref, encode_ascii(query))
+    codes = encode_ascii(query)
+    ms = engine.compute_ms_values(sbwt_ref, codes)
 
     # phase 1: MS drops below threshold (the variant-start signal)
     drops = (
@@ -152,13 +153,22 @@ def call_variants(
     if drops.size == 0:
         return []
 
-    # phase 2: first anchor j in (i, i+k] with ms[j] >= d and a unique interval
-    good = (ms >= d) & (ivals[:, 1] - ivals[:, 0] == 1)
+    # phase 2: first anchor j in (i, i+k] with ms[j] >= d and a unique
+    # interval. Intervals are only needed at the candidate anchor windows, so
+    # they are computed sparsely (one batched device call) rather than for
+    # the whole sequence (SURVEY §7.3 two-phase sparse refinement).
+    cand = np.unique(
+        (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
+    )
+    cand = cand[cand < n]
+    cand_ms, cand_iv = engine.compute_ms_intervals_at(sbwt_ref, codes, cand)
+    good_c = (cand_ms >= d) & (cand_iv[:, 1] - cand_iv[:, 0] == 1)
     anchor = np.full(drops.size, -1, dtype=np.int64)
     for off in range(1, k + 1):
         j = drops + off
         m = (anchor < 0) & (j < n)
-        m[m] = good[j[m]]
+        cidx = np.searchsorted(cand, j[m])
+        m[m] = good_c[cidx]
         anchor[m] = j[m]
     sel = anchor >= 0
     sites = drops[sel]
@@ -167,12 +177,13 @@ def call_variants(
         return []
 
     # phase 3: batched k-mer extraction + batched bidirectional k-mer MS
-    ref_kmers_codes = sbwt_ref.access_kmers_codes(ivals[anchors, 0])
+    anchor_rows = cand_iv[np.searchsorted(cand, anchors), 0]
+    ref_kmers_codes = sbwt_ref.access_kmers_codes(anchor_rows)
     query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
-    ms_vs_ref_list = engine.compute_ms_many(sbwt_ref, qk_codes)
-    ms_vs_query_list = engine.compute_ms_many(sbwt_query, rk_codes)
+    ms_vs_ref_list = engine.compute_ms_values_many(sbwt_ref, qk_codes)
+    ms_vs_query_list = engine.compute_ms_values_many(sbwt_query, rk_codes)
 
     calls: list[Variant] = []
     for t, i in enumerate(sites):
@@ -181,8 +192,8 @@ def call_variants(
             qc, rc = resolve_variant(
                 query_kmers[t],
                 ref_kmer,
-                ms_vs_query_list[t][0],
-                ms_vs_ref_list[t][0],
+                ms_vs_query_list[t],
+                ms_vs_ref_list[t],
                 d,
             )
             calls.append(Variant(query_pos=int(i), query_chars=qc, ref_chars=rc))

@@ -5,7 +5,7 @@ import pytest
 
 from kbo_tpu import BuildOpts, build
 from kbo_tpu.index.encode import encode_ascii
-from kbo_tpu.kernels.ms import query_ms_device
+from kbo_tpu.kernels.ms import query_ms_device, query_ms_values_device
 from kbo_tpu.ops.ms import query_ms_codes
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -42,13 +42,18 @@ def test_differential_random(k):
     np.testing.assert_array_equal(iv_dev, iv_ref)
 
 
-def test_blocking_parity():
+def test_values_fast_path_parity():
+    """The 2-bit value-only join agrees with the full 3-bit join + oracle."""
     rng = np.random.default_rng(0)
     ref = BASES[rng.integers(0, 4, 500)].tobytes()
-    query = BASES[rng.integers(0, 4, 700)].tobytes()
-    sbwt = build([ref], BuildOpts(k=15))
-    codes = encode_ascii(query)
-    ms1, iv1 = query_ms_device(sbwt, codes, block=1 << 16)
-    ms2, iv2 = query_ms_device(sbwt, codes, block=128)
-    np.testing.assert_array_equal(ms1, ms2)
-    np.testing.assert_array_equal(iv1, iv2)
+    query = bytearray(BASES[rng.integers(0, 4, 700)].tobytes())
+    query[100:220] = ref[40:160]
+    query[400:420] = b"N" * 20
+    query[600:650] = ref[0:50]  # overlaps dummy-row territory
+    query = bytes(query)
+    for k in (7, 15, 31, 63):
+        sbwt = build([ref], BuildOpts(k=k))
+        codes = encode_ascii(query)
+        ms_ref, _ = query_ms_codes(sbwt, codes)
+        ms2 = query_ms_values_device(sbwt, codes)
+        np.testing.assert_array_equal(ms2, ms_ref)

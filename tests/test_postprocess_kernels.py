@@ -84,11 +84,9 @@ def test_translate_differential_synthetic(seed):
 
 
 def test_blocked_scan_branch():
-    """L = multiple of the scan block exercises the two-level scan path."""
-    from kbo_tpu.kernels.postprocess import _SCAN_BLOCK
-
+    """Large non-power-of-two L exercises the doubling-scan tail handling."""
     rng = np.random.default_rng(9)
-    L = 2 * _SCAN_BLOCK
+    L = (1 << 16) + 12345
     k, t = 31, 11
     noisy = _lipschitz_ms_fast(rng, L, k)
     ref = derandomize_ms_vec(noisy, k, t)
