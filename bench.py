@@ -55,7 +55,7 @@ def main():
     from kbo_tpu import BuildOpts, build
     from kbo_tpu.engine import device_index
     from kbo_tpu.index.encode import encode_ascii
-    from kbo_tpu.kernels.ms import INVALID, make_flat_buffer, ms2_core, ms3_windows_core
+    from kbo_tpu.kernels.ms import INVALID, make_flat_buffer, ms2_core, ms2_windows_core
     from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
     from kbo_tpu.ops.derandomize import random_match_threshold
 
@@ -86,11 +86,11 @@ def main():
         chars = translate_core(derand, k, threshold, true_len + (k - 1))
         return jnp.sum(chars.astype(jnp.int32)) + jnp.sum(ms), chars
 
-    def run_map(keys2, dummy2, dummy_v, keys3, buf, windows, true_len, threshold):
+    def run_map(keys2, dummy2, dummy_v, buf, windows, true_len, threshold):
         # the restructured map path: full-length value sweep + sparse
-        # 3-bit interval pass at the variant/gap candidate windows
+        # interval pass at the variant/gap candidate windows
         cs_find, chars = run_find(keys2, dummy2, dummy_v, buf, true_len, threshold)
-        ms_w, l, r = ms3_windows_core(keys3, windows, k)
+        ms_w, l, r = ms2_windows_core(keys2, dummy2, dummy_v, windows, k)
         return cs_find + jnp.sum(ms_w) + jnp.sum(l) + jnp.sum(r), chars
 
     map_fn = jax.jit(run_map)
@@ -133,7 +133,7 @@ def main():
         return compile_s, max(dt, 1e-9), cs
 
     map_args = (
-        dev.keys2, dev.dummy2, dev.dummy_v, dev.keys3, buf, windows, Lj, thr
+        dev.keys2, dev.dummy2, dev.dummy_v, buf, windows, Lj, thr
     )
     find_args = (dev.keys2, dev.dummy2, dev.dummy_v, buf, Lj, thr)
     map_compile, map_s, _ = timeit(map_fn, map_args)

@@ -119,7 +119,7 @@ def compute_ms_intervals_at(
 
     import jax.numpy as jnp
 
-    from kbo_tpu.kernels.ms import INVALID, _ms3_windows_jit
+    from kbo_tpu.kernels.ms import INVALID, _ms2_windows_jit
 
     dev = device_index(index)
     k = dev.k
@@ -136,7 +136,9 @@ def compute_ms_intervals_at(
         windows = np.concatenate(
             [windows, np.full((Pb - P, k), INVALID, dtype=np.uint8)]
         )
-    ms, l, r = _ms3_windows_jit(dev.keys3, jnp.asarray(windows), k)
+    ms, l, r = _ms2_windows_jit(
+        dev.keys2, dev.dummy2, dev.dummy_v, jnp.asarray(windows), k
+    )
     ms = np.asarray(ms[:P], dtype=np.int64)
     iv = np.stack(
         [np.asarray(l[:P], dtype=np.int64), np.asarray(r[:P], dtype=np.int64)],

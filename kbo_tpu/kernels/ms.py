@@ -158,11 +158,15 @@ def _propagate_nearest(vals, seen, reverse: bool):
 
 def _radix_sort(arrays, n_key_words: int):
     """Stable LSD radix sort of parallel arrays by their first n_key_words
-    uint32 word arrays (most significant first)."""
+    uint32 word arrays (most significant first). A fused num_keys=W
+    lax.sort would halve the passes but its XLA:TPU comparator compile
+    time at multi-million-row shapes runs to many minutes; stable sort1
+    passes compile in seconds and reuse one executable."""
     ops = list(arrays)
     for w in range(n_key_words - 1, -1, -1):
-        out = jax.lax.sort(tuple([ops[w]] + ops), num_keys=1, is_stable=True)
-        ops = list(out[1:])
+        rest = ops[:w] + ops[w + 1 :]
+        out = jax.lax.sort(tuple([ops[w]] + rest), num_keys=1, is_stable=True)
+        ops = list(out[1 : w + 1]) + [out[0]] + list(out[w + 1 :])
     return ops
 
 
@@ -317,6 +321,130 @@ def _ms3_iv_jit(keys3, buf, k):
     ms = ms3_core(keys3, buf, k)
     l, r = intervals3_core(keys3, buf, ms, k)
     return ms, l, r
+
+
+def _chunk2_at(words, t):
+    """2-bit chunk value at (traced) chunk index t of a 2-bit key list."""
+    out = jnp.zeros(t.shape, dtype=jnp.uint32)
+    for w in range(len(words)):
+        sel = (t >= w * 16) & (t < (w + 1) * 16)
+        sh = (jnp.uint32(30) - 2 * (t.astype(jnp.uint32) - w * 16) % 32)
+        out = jnp.where(sel, (words[w] >> sh) & 3, out)
+    return out
+
+
+def _intervals2_from_keys(keys2, q_words, ms):
+    """Interval [l, r) among the REAL rows of the length-ms prefixes of the
+    given 2-bit query keys (floor = pattern + 'A'-fill sorts before equal
+    rows; ceil = pattern + 'T'-fill sorts after, with stability order
+    [floor, ref, ceil])."""
+    W = len(q_words)
+    P = q_words[0].shape[0]
+    n = keys2.shape[1]
+    floors, ceils = [], []
+    for w in range(W):
+        keep = jnp.clip(ms - w * 16, 0, 16).astype(jnp.uint32)
+        lb = jnp.minimum(jnp.uint32(32) - 2 * keep, jnp.uint32(31))
+        ones = jnp.where(
+            keep == 0,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << lb) - 1,
+        )
+        floors.append(q_words[w] & ~ones)
+        ceils.append(floors[w] | ones)
+    words = [
+        jnp.concatenate([floors[w], keys2[w], ceils[w]]) for w in range(W)
+    ]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    meta = jnp.concatenate([idx, jnp.full((n,), _BIG, jnp.int32), idx + P])
+    ops = _radix_sort(words + [meta], W)
+    smeta = ops[W]
+    is_ref = (smeta == _BIG).astype(jnp.int32)
+    before = jnp.cumsum(is_ref) - is_ref
+    back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
+    vals = back[1]
+    return vals[:P], vals[P : 2 * P]
+
+
+def _interval_dummy_adjust(q_words, ms, dummy2, dummy_v):
+    """Counts converting real-row interval ranks to full-row ranks.
+
+    Returns (l_add, r_add): the number of dummy rows colex-before each
+    probe's pattern floor, and before its interval end, in TRUE colex
+    order ('$' smallest). Exact per-dummy comparison: find the first true
+    difference position (capping the raw 2-bit common prefix by the
+    dummy's real-suffix length v and the pattern length ms) and compare
+    there; a dummy sharing the whole pattern lies inside the interval.
+    """
+    D = dummy_v.shape[0]
+    P = q_words[0].shape[0]
+    zeros = jnp.zeros(P, dtype=jnp.int32)
+    if D == 0:
+        return zeros, zeros
+    W = len(q_words)
+    stacked = jnp.stack(dummy2, axis=1)  # [D, W]
+
+    def body(carry, dw):
+        l_add, r_add = carry
+        d_words, v = dw
+        db = [jnp.broadcast_to(d_words[w], (P,)) for w in range(W)]
+        c2 = _common2(q_words, db)
+        tfd = jnp.minimum(jnp.minimum(c2, v), ms)
+        inside = tfd == ms
+        exhausted = ~inside & (tfd == v)
+        dc = _chunk2_at(db, tfd)
+        qc = _chunk2_at(q_words, tfd)
+        by_chunk = ~inside & ~exhausted & (dc < qc)
+        less = (exhausted | by_chunk).astype(jnp.int32)
+        return (l_add + less, r_add + less + inside.astype(jnp.int32)), None
+
+    (l_add, r_add), _ = jax.lax.scan(
+        body, (zeros + (q_words[0][0] * 0).astype(jnp.int32),
+               zeros + (q_words[0][0] * 0).astype(jnp.int32)),
+        (stacked, dummy_v.astype(jnp.int32)),
+    )
+    return l_add, r_add
+
+
+def ms2_windows_core(keys2, dummy2, dummy_v, windows, k: int):
+    """MS + full-row colex intervals for a [P, k] window matrix (2-bit join).
+
+    The sparse interval path: the refinement layers (gap filling, variant
+    calling) only ever read intervals at data-dependent candidate
+    positions, so the full-length interval pass is never materialized
+    (SURVEY §7.3 two-phase sparse refinement). Interval ranks among real
+    rows come from a floor/ceil counting pass over the 2-bit keys; dummy
+    rows are folded in by the exact per-dummy comparison scan.
+    """
+    P = windows.shape[0]
+    buf = windows.reshape(-1)
+    c = ((buf.astype(jnp.uint32) - 1) & 3)
+    all_words = []
+    for w in range(w2_for_k(k)):
+        acc = jnp.zeros(buf.shape[0], dtype=jnp.uint32)
+        for j in range(16):
+            t = w * 16 + j
+            if t >= k:
+                break
+            acc = acc | (_shift_up_const(c, t, 0) << (30 - 2 * j))
+        all_words.append(acc)
+    q_words = [w.reshape(P, k)[:, k - 1] for w in all_words]
+    # per-row validity: length of the valid run ending at the row's end
+    valid = ((windows >= 1) & (windows <= 4))[:, ::-1].astype(jnp.int32)
+    limit = jnp.minimum(jnp.sum(jnp.cumprod(valid, axis=1), axis=1), k)
+
+    meta = jnp.arange(P, dtype=jnp.int32)
+    ref_words = [keys2[w] for w in range(keys2.shape[0])]
+    ms = jnp.minimum(_neighbor_common(ref_words, q_words, meta, _common2), limit)
+    d2 = [dummy2[w] for w in range(dummy2.shape[0])]
+    ms = jnp.maximum(ms, _dummy_ms(q_words, limit, d2, dummy_v))
+
+    l_real, r_real = _intervals2_from_keys(keys2, q_words, ms)
+    l_add, r_add = _interval_dummy_adjust(q_words, ms, d2, dummy_v)
+    return ms, l_real + l_add, r_real + r_add
+
+
+_ms2_windows_jit = jax.jit(ms2_windows_core, static_argnames=("k",))
 
 
 def ms3_windows_core(keys3, windows, k: int):

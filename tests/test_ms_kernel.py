@@ -57,3 +57,31 @@ def test_values_fast_path_parity():
         ms_ref, _ = query_ms_codes(sbwt, codes)
         ms2 = query_ms_values_device(sbwt, codes)
         np.testing.assert_array_equal(ms2, ms_ref)
+
+
+@pytest.mark.parametrize("k", [3, 7, 31, 33])
+def test_sparse_windows_intervals(k):
+    """The 2-bit sparse window join (ms + full-row intervals with dummy
+    adjustment) agrees with the oracle at every position, including near
+    segment starts where dummy-row matches and interval ranks matter."""
+    from kbo_tpu.engine import compute_ms_intervals_at
+
+    rng = np.random.default_rng(37 + k)
+    # multi-segment reference (embedded 'N' splits) -> many dummy rows
+    ref = bytearray(BASES[rng.integers(0, 4, 300)].tobytes())
+    ref[60:62] = b"NN"
+    ref[150] = ord("N")
+    ref = bytes(ref)
+    q = bytearray(BASES[rng.integers(0, 4, 200)].tobytes())
+    q[5:45] = ref[0:40]      # overlaps a segment start (dummy territory)
+    q[80:120] = ref[62:102]  # overlaps the post-N segment start
+    q[160:170] = b"N" * 10
+    q = bytes(q)
+
+    sbwt = build([ref], BuildOpts(k=k))
+    codes = encode_ascii(q)
+    ms_ref, iv_ref = query_ms_codes(sbwt, codes)
+    positions = np.arange(len(q))
+    ms_sp, iv_sp = compute_ms_intervals_at(sbwt, codes, positions)
+    np.testing.assert_array_equal(ms_sp, ms_ref)
+    np.testing.assert_array_equal(iv_sp, iv_ref)
