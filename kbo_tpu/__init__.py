@@ -1,11 +1,12 @@
 """kbo-tpu: a TPU-native k-bounded matching statistics engine.
 
 A from-scratch reimplementation of the capabilities of `kbo`
-(https://github.com/tmaklin/kbo, reference mounted at /root/reference) designed
-for TPU hardware: the SBWT index lives in device memory as packed rank
-bitvectors, and matching statistics are computed position-parallel (no
-sequential streaming scan) so that throughput scales with batch size and HBM
-bandwidth instead of scan-step latency.
+(https://github.com/tmaklin/kbo, reference mounted at /root/reference)
+designed for TPU hardware: matching statistics are computed as a sorted
+k-mer join (pack colex window keys -> lax.sort -> neighbor propagation ->
+XOR/clz common prefix; see kbo_tpu/kernels/ms.py) instead of the
+reference's sequential rank-walk, so the hot path is sorts and elementwise
+ops -- no gathers -- and throughput scales with the query batch.
 
 Public API mirrors the reference's top level (reference: src/lib.rs:501-821):
 

@@ -19,6 +19,7 @@ from kbo_tpu import engine
 from kbo_tpu.ops import derandomize, format as fmt, translate
 from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts, MatchOpts
 from kbo_tpu.refine import gap_filling, variant_calling
+from kbo_tpu.utils.stats import get_stats, stage
 
 
 def build(seq_data, build_opts: BuildOpts | None = None) -> SbwtIndex:
@@ -40,9 +41,10 @@ def matches(
     threshold = derandomize.random_match_threshold(
         k, sbwt.n_kmers, 4, opts.max_error_prob
     )
-    noisy_ms = engine.compute_ms_values(sbwt, encode_ascii(bytes(query_seq)))
-    derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
-    return translate.translate_ms_vec(derand_ms, k, threshold)
+    with stage("matches", bases=len(query_seq)):
+        noisy_ms = engine.compute_ms_values(sbwt, encode_ascii(bytes(query_seq)))
+        derand_ms = derandomize.derandomize_ms_vec(noisy_ms, k, threshold)
+        return translate.translate_ms_vec(derand_ms, k, threshold)
 
 
 def find(
@@ -70,14 +72,17 @@ def call(
     matching VCF POS semantics (reference: src/lib.rs:561-568).
     """
     opts = call_opts or CallOpts()
-    sbwt_ref = build([bytes(ref_seq)], opts.sbwt_build_opts)
-    assert sbwt_ref.k == sbwt_query.k
-    return variant_calling.call_variants(
-        sbwt_query,  # -> call_variants' sbwt_ref slot
-        sbwt_ref,  # -> call_variants' sbwt_query slot
-        bytes(ref_seq),
-        opts.max_error_prob,
-    )
+    with stage("call", bases=len(ref_seq)):
+        sbwt_ref = build([bytes(ref_seq)], opts.sbwt_build_opts)
+        assert sbwt_ref.k == sbwt_query.k
+        variants = variant_calling.call_variants(
+            sbwt_query,  # -> call_variants' sbwt_ref slot
+            sbwt_ref,  # -> call_variants' sbwt_query slot
+            bytes(ref_seq),
+            opts.max_error_prob,
+        )
+    get_stats().add("variants_called", len(variants))
+    return variants
 
 
 def map_(

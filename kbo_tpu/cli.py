@@ -26,7 +26,12 @@ import numpy as np
 from kbo_tpu import __version__
 from kbo_tpu.api import build, call, find, map_, matches
 from kbo_tpu.index.encode import revcomp_ascii
-from kbo_tpu.index.serialize import load_index, save_index
+from kbo_tpu.index.serialize import (
+    load_index,
+    load_sbwt,
+    save_index,
+    serialize_sbwt,
+)
 from kbo_tpu.io.fastx import read_fastx
 from kbo_tpu.opts import BuildOpts, CallOpts, FindOpts, MapOpts
 
@@ -113,7 +118,8 @@ def cmd_find(args, out=None):
 
     if args.index:
         # prebuilt indexes are only usable with find (reference: src/lib.rs:48-50)
-        targets = [(ref_file, load_index(args.index), None)]
+        loader = load_sbwt if os.path.exists(f"{args.index}.sbwt") else load_index
+        targets = [(ref_file, loader(args.index), None)]
     else:
         ref_records = read_fastx(args.reference)
         if args.detailed:
@@ -180,7 +186,11 @@ def cmd_build(args, out=None):
     seqs = [seq for f in args.inputs for _, seq in read_fastx(f)]
     opts = _build_opts(args, build_select=True)
     index = build(seqs, opts)
-    path = save_index(args.output, index)
+    if args.format == "sbwt":
+        paths = serialize_sbwt(args.output, index)
+        path = " + ".join(paths)
+    else:
+        path = save_index(args.output, index)
     print(
         f"built index: k={index.k} n_kmers={index.n_kmers} "
         f"n_rows={index.n_rows} -> {path}",
@@ -195,6 +205,15 @@ def make_parser() -> argparse.ArgumentParser:
         "(kbo-compatible operations)",
     )
     p.add_argument("--version", action="version", version=f"kbo-tpu {__version__}")
+    p.add_argument(
+        "--stats",
+        action="store_true",
+        help="print structured run statistics (JSON) to stderr on exit",
+    )
+    p.add_argument(
+        "--profile-dir",
+        help="write a jax.profiler trace of the run to this directory",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp, reference_required=True):
@@ -224,16 +243,27 @@ def make_parser() -> argparse.ArgumentParser:
     common(sp, reference_required=False)
     sp.add_argument("-o", "--output", required=True, help="output prefix")
     sp.add_argument("--add-revcomp", action="store_true")
+    sp.add_argument(
+        "--format",
+        choices=("npz", "sbwt"),
+        default="npz",
+        help="npz checkpoint or the reference's .sbwt/.lcs file pair",
+    )
     sp.set_defaults(func=cmd_build)
     return p
 
 
 def main(argv=None):
+    from kbo_tpu.utils.stats import get_stats, profile_trace
+
     args = make_parser().parse_args(argv)
     if args.command in ("call", "find", "map") and not getattr(args, "index", None):
         if not args.reference:
             sys.exit(f"error: {args.command} requires --reference")
-    args.func(args)
+    with profile_trace(args.profile_dir):
+        args.func(args)
+    if args.stats:
+        print(get_stats().dump_json(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ import numpy as np
 from kbo_tpu.index.encode import encode_ascii
 from kbo_tpu.index.sbwt import SbwtIndex
 from kbo_tpu.ops.derandomize import log_rm_max_cdf
+from kbo_tpu.utils.stats import get_stats
 
 
 def count_right_overlaps(kmer: bytes, ref_seq: bytes, ref_match_end: int) -> int:
@@ -248,7 +249,9 @@ def fill_gaps(
             and not matching_bases[-1]
             and total_overlaps + 2 == gap_len
         )
+        get_stats().add("gaps_seen")
         if kmer_found and no_indels and (overlap_without_extend or fill_overlaps or fill_flanked):
+            get_stats().add("gaps_filled")
             for t in range(start_index, end_index):
                 kmer_nt = kmer[threshold + (t - start_index)]
                 refined[t] = "M" if kmer_nt == ref_seq[t] else chr(kmer_nt)

@@ -89,3 +89,31 @@ def test_n_rows_multiple_of_32():
         if native.available():
             ms_n, iv_n = native.ms_stream(sbwt, codes)
             np.testing.assert_array_equal(ms_n, ms_h)
+
+
+def test_sbwt_lcs_file_pair_roundtrip(tmp_path):
+    """The .sbwt/.lcs file-pair form (reference: src/index.rs:128-151):
+    u64-LE length prefix + "SubsetMatrix" header, LCS in its own file."""
+    import struct
+
+    from kbo_tpu.index.serialize import load_sbwt, serialize_sbwt
+
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.ops.ms import query_ms_codes
+
+    sbwt = build([b"AAAGAACCA-TCAGGGCG"], BuildOpts(k=3))
+    prefix = str(tmp_path / "idx")
+    sbwt_path, lcs_path = serialize_sbwt(prefix, sbwt)
+    raw = open(sbwt_path, "rb").read()
+    (n,) = struct.unpack("<Q", raw[:8])
+    assert raw[8 : 8 + n] == b"SubsetMatrix"
+    loaded = load_sbwt(prefix)
+    assert loaded.k == sbwt.k and loaded.n_rows == sbwt.n_rows
+    np.testing.assert_array_equal(loaded.bits, sbwt.bits)
+    np.testing.assert_array_equal(loaded.lcs, sbwt.lcs)
+    np.testing.assert_array_equal(loaded.keys2, sbwt.keys2)
+    # query parity through the loaded index
+    codes = encode_ascii(b"CAAGCCACTCATTGGGTC")
+    np.testing.assert_array_equal(
+        query_ms_codes(loaded, codes)[0], query_ms_codes(sbwt, codes)[0]
+    )
