@@ -59,6 +59,49 @@ def find(
     return fmt.run_lengths(aln)
 
 
+def find_batch(
+    query_seqs: list[bytes],
+    sbwt: SbwtIndex,
+    find_opts: FindOpts | None = None,
+    mesh=None,
+) -> list[list[fmt.RLE]]:
+    """Batched :func:`find`: all queries go through one fused device pipeline
+    (data-parallel over a mesh when one is given), then per-query RLE
+    extraction on host in input order.
+
+    This is the serving path the reference delegates to kbo-cli's per-record
+    rayon loop (SURVEY §2.3); here the batch dimension is the device
+    parallelism axis.
+    """
+    opts = find_opts or FindOpts()
+    if not query_seqs:
+        return []
+    threshold = derandomize.random_match_threshold(
+        sbwt.k, sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    code_list = [encode_ascii(bytes(q)) for q in query_seqs]
+    total = sum(c.size for c in code_list)
+    with stage("find_batch", bases=total):
+        if mesh is not None:
+            from kbo_tpu.parallel.mesh import matches_batch_sharded
+
+            chars_list = matches_batch_sharded(
+                sbwt, code_list, threshold, mesh=mesh
+            )
+        else:
+            from kbo_tpu.pipeline import matches_batch
+
+            chars_list = matches_batch(sbwt, code_list, threshold)
+    out = []
+    for chars in chars_list:
+        aln = [chr(c) for c in chars]
+        if opts.max_gap_len > 0:
+            out.append(fmt.run_lengths_gapped(aln, opts.max_gap_len))
+        else:
+            out.append(fmt.run_lengths(aln))
+    return out
+
+
 def call(
     sbwt_query: SbwtIndex, ref_seq: bytes, call_opts: CallOpts | None = None
 ) -> list[variant_calling.Variant]:

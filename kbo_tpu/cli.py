@@ -24,7 +24,7 @@ import sys
 import numpy as np
 
 from kbo_tpu import __version__
-from kbo_tpu.api import build, call, find, map_, matches
+from kbo_tpu.api import build, call, find, find_batch, map_, matches
 from kbo_tpu.index.encode import revcomp_ascii
 from kbo_tpu.index.serialize import (
     load_index,
@@ -142,10 +142,17 @@ def cmd_find(args, out=None):
     )
     print(header, file=out)
     for target_name, index, ref_len in targets:
-        for qname, qseq in query_records:
+        # one fused device batch per target: every query contig, both strands
+        batch = [
+            seq
+            for _, qseq in query_records
+            for seq in (qseq, revcomp_ascii(qseq))
+        ]
+        rle_lists = find_batch(batch, index, find_opts)
+        for qi, (qname, qseq) in enumerate(query_records):
             qlen = len(qseq)
-            for strand, seq in (("+", qseq), ("-", revcomp_ascii(qseq))):
-                rles = find(seq, index, find_opts)
+            for si, strand in enumerate("+-"):
+                rles = rle_lists[2 * qi + si]
                 for rle, start, end in _find_rows(rles, strand, qlen):
                     length = rle.end - rle.start
                     aligned = rle.matches + rle.mismatches

@@ -39,8 +39,8 @@ def _window_matrix(segments: list[np.ndarray], k: int) -> np.ndarray:
     return np.ascontiguousarray(np.concatenate(parts, axis=0))
 
 
-def _colex_sort_dedup(rows: np.ndarray) -> np.ndarray:
-    """Colex sort rows (primary key = last column) and drop duplicates."""
+def _sort_block(rows: np.ndarray) -> np.ndarray:
+    """Colex sort one block of rows (primary key = last column), dedup."""
     k = rows.shape[1]
     order = np.lexsort(tuple(rows[:, j] for j in range(k)))
     rows = rows[order]
@@ -50,6 +50,29 @@ def _colex_sort_dedup(rows: np.ndarray) -> np.ndarray:
         np.any(rows[1:] != rows[:-1], axis=1, out=keep[1:])
         rows = rows[keep]
     return rows
+
+
+def _colex_sort_dedup(rows: np.ndarray, num_threads: int = 1) -> np.ndarray:
+    """Colex sort rows and drop duplicates.
+
+    With num_threads > 1, rows partition by their last character (the
+    primary colex key) and the buckets sort concurrently -- numpy's sorts
+    release the GIL, so plain threads scale. Duplicates share every
+    character, so per-bucket dedup is global dedup; concatenating buckets
+    in character order restores full colex order. This is the new
+    framework's take on the reference's construction-thread knob
+    (reference: src/index.rs:75,88).
+    """
+    if num_threads > 1 and rows.shape[0] > (1 << 16):
+        from concurrent.futures import ThreadPoolExecutor
+
+        last = rows[:, -1]
+        with ThreadPoolExecutor(max_workers=num_threads) as ex:
+            parts = list(
+                ex.map(lambda c: _sort_block(rows[last == c]), range(5))
+            )
+        return np.concatenate([p for p in parts if p.shape[0]], axis=0)
+    return _sort_block(rows)
 
 
 def _lcs_array(rows: np.ndarray) -> np.ndarray:
@@ -114,11 +137,13 @@ def pack_rows_3bit(rows: np.ndarray) -> np.ndarray:
     return keys
 
 
-def build_index_from_segments(segments: list[np.ndarray], k: int) -> SbwtIndex:
+def build_index_from_segments(
+    segments: list[np.ndarray], k: int, num_threads: int = 1
+) -> SbwtIndex:
     """Core construction from pre-encoded valid segments."""
     assert segments, "cannot build an index from empty input"
     assert 1 < k < 256, "k must be in (1, 256)"
-    rows = _colex_sort_dedup(_window_matrix(segments, k))
+    rows = _colex_sort_dedup(_window_matrix(segments, k), num_threads)
     n = rows.shape[0]
     lcs = _lcs_array(rows)
     real = rows[:, 0] != 0  # a '$' can only appear as a prefix
@@ -197,4 +222,4 @@ def build_sbwt_from_seqs(seqs, opts: BuildOpts | None = None) -> SbwtIndex:
         segments.extend(split_segments(encode_ascii(seq)))
         if opts.add_revcomp:
             segments.extend(split_segments(encode_ascii(revcomp_ascii(seq))))
-    return build_index_from_segments(segments, opts.k)
+    return build_index_from_segments(segments, opts.k, opts.num_threads)

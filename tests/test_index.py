@@ -117,3 +117,18 @@ def test_sbwt_lcs_file_pair_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         query_ms_codes(loaded, codes)[0], query_ms_codes(sbwt, codes)[0]
     )
+
+
+def test_threaded_build_parity():
+    """num_threads > 1 partitions the colex sort by last character; the
+    result must be identical to the single-threaded build."""
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = bases[rng.integers(0, 4, 200000)].tobytes()
+    a = build([seq], BuildOpts(k=21, num_threads=1))
+    b = build([seq], BuildOpts(k=21, num_threads=4))
+    assert a.n_rows == b.n_rows and a.n_kmers == b.n_kmers
+    np.testing.assert_array_equal(a.bits, b.bits)
+    np.testing.assert_array_equal(a.lcs, b.lcs)
+    np.testing.assert_array_equal(a.keys2, b.keys2)
+    np.testing.assert_array_equal(a.keys3, b.keys3)
