@@ -158,10 +158,16 @@ def _propagate_nearest(vals, seen, reverse: bool):
 
 def _radix_sort(arrays, n_key_words: int):
     """Stable LSD radix sort of parallel arrays by their first n_key_words
-    uint32 word arrays (most significant first). A fused num_keys=W
-    lax.sort would halve the passes but its XLA:TPU comparator compile
-    time at multi-million-row shapes runs to many minutes; stable sort1
-    passes compile in seconds and reuse one executable."""
+    uint32 word arrays (most significant first).
+
+    Measured alternatives (2M-base genome, one v5e chip), for the record:
+    a fused num_keys=W lax.sort halves the passes but its XLA:TPU
+    comparator compile time at multi-million-row shapes runs to many
+    minutes; a jnp bitonic MERGE against the presorted reference keys
+    (log-stage half-cleaner of reshape+select) compiled for minutes AND ran
+    ~4x slower than these passes -- the per-stage interleave forces full
+    relayouts. lax.sort1 runs at ~1.3 TB/s effective here, near HBM
+    bandwidth; beating it would take a Pallas merge kernel, not XLA ops."""
     ops = list(arrays)
     for w in range(n_key_words - 1, -1, -1):
         rest = ops[:w] + ops[w + 1 :]
