@@ -172,3 +172,61 @@ def map_(
     if opts.format:
         return fmt.relative_to_ref(ref_seq, with_variants)
     return "".join(with_variants).encode("latin-1")
+
+
+def map_batch(
+    ref_seqs: list[bytes],
+    query_sbwt: SbwtIndex,
+    map_opts: MapOpts | None = None,
+) -> list[bytes]:
+    """Batched :func:`map_` over many reference contigs.
+
+    The MS sweep + derandomize + translate stage for ALL contigs runs as
+    one fused device batch; the data-dependent refinement (gap filling,
+    variant calling) then proceeds per contig with sparse interval fetches,
+    exactly as :func:`map_` does.
+    """
+    opts = map_opts or MapOpts()
+    if not ref_seqs:
+        return []
+    k = query_sbwt.k
+    if opts.call_variants:
+        assert k == opts.sbwt_build_opts.k
+    threshold = derandomize.random_match_threshold(
+        k, query_sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    from kbo_tpu.pipeline import matches_ms_batch
+
+    code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
+    with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        chars_list, ms_list = matches_ms_batch(query_sbwt, code_list, threshold)
+
+    out = []
+    for ref_seq, ref_codes, chars, noisy_ms in zip(
+        ref_seqs, code_list, chars_list, ms_list
+    ):
+        ref_seq = bytes(ref_seq)
+        translation = [chr(c) for c in chars]
+        if opts.fill_gaps:
+            ivals = engine.SparseIntervals(query_sbwt, ref_codes)
+            refined = gap_filling.fill_gaps(
+                translation, noisy_ms, ivals, ref_seq, query_sbwt,
+                threshold, opts.max_error_prob,
+            )
+        else:
+            refined = translation
+        if opts.call_variants:
+            variants = call(
+                query_sbwt,
+                ref_seq,
+                CallOpts(
+                    max_error_prob=opts.max_error_prob,
+                    sbwt_build_opts=opts.sbwt_build_opts,
+                ),
+            )
+            refined = translate.add_variants(refined, variants)
+        if opts.format:
+            out.append(fmt.relative_to_ref(ref_seq, refined))
+        else:
+            out.append("".join(refined).encode("latin-1"))
+    return out

@@ -182,9 +182,10 @@ def cmd_map(args, out=None):
         sbwt_build_opts=_build_opts(args, build_select=True),
     )
     sbwt_query = build(query_seqs, opts.sbwt_build_opts)
+    from kbo_tpu.api import map_batch
+
     print(f">{query_name}", file=out)
-    for _, seq in ref_records:
-        aln = map_(seq, sbwt_query, opts)
+    for aln in map_batch([seq for _, seq in ref_records], sbwt_query, opts):
         print(aln.decode(), file=out)
 
 

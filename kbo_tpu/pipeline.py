@@ -108,15 +108,15 @@ def pad_batch(code_list: list[np.ndarray], L: int | None = None, bucket=False):
     return codes, lengths
 
 
-def matches_batch(
+def matches_ms_batch(
     index: SbwtIndex, code_list: list[np.ndarray], threshold: int
-) -> list[np.ndarray]:
-    """Translated alignment chars (uint8 arrays) for a batch of queries."""
+):
+    """(translation chars, noisy ms) per query, one fused device batch."""
     from kbo_tpu.engine import device_index
 
     dev = device_index(index)
     codes, lengths = pad_batch(code_list, bucket=True)
-    chars, _ = matches_pipeline(
+    chars, ms = matches_pipeline(
         dev.keys2,
         dev.dummy2,
         dev.dummy_v,
@@ -126,4 +126,15 @@ def matches_batch(
         jnp.int32(threshold),
     )
     chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
-    return [chars[i, : c.size] for i, c in enumerate(code_list)]
+    ms = np.asarray(ms, dtype=np.int64)
+    return (
+        [chars[i, : c.size] for i, c in enumerate(code_list)],
+        [ms[i, : c.size] for i, c in enumerate(code_list)],
+    )
+
+
+def matches_batch(
+    index: SbwtIndex, code_list: list[np.ndarray], threshold: int
+) -> list[np.ndarray]:
+    """Translated alignment chars (uint8 arrays) for a batch of queries."""
+    return matches_ms_batch(index, code_list, threshold)[0]

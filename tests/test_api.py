@@ -134,3 +134,44 @@ def test_map_internal_doctest():
     sbwt_query = build([query], opts)
     got = map_(reference, sbwt_query, map_opts)
     assert got == b"MMMMMMMM---MMMMMMMMMMMMMMMMMMMMMMMMM"
+
+
+def test_map_batch_matches_map():
+    """map_batch over several contigs equals per-contig map_."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build, map_
+    from kbo_tpu.api import map_batch
+
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    query = bases[rng.integers(0, 4, 4000)].tobytes()
+    refs = []
+    for s, e, mut in ((0, 1500, 700), (1500, 2900, 2000), (2900, 4000, 3300)):
+        r = bytearray(query[s:e])
+        r[mut - s] = bases[(np.frombuffer(query[mut:mut+1], np.uint8)[0] % 4 + 1) % 4]
+        refs.append(bytes(r))
+
+    opts_b = BuildOpts(k=51, build_select=True)
+    sbwt_q = build([query], opts_b)
+    opts = MapOpts(sbwt_build_opts=opts_b)
+    batched = map_batch(refs, sbwt_q, opts)
+    single = [map_(r, sbwt_q, opts) for r in refs]
+    assert batched == single
+
+
+def test_find_batch_matches_find():
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, FindOpts, build, find
+    from kbo_tpu.api import find_batch
+
+    rng = np.random.default_rng(14)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, 3000)].tobytes()
+    queries = [ref[0:900], ref[1000:1400], bases[rng.integers(0, 4, 500)].tobytes()]
+    sbwt = build([ref], BuildOpts(k=31))
+    opts = FindOpts(max_gap_len=2)
+    batched = find_batch(queries, sbwt, opts)
+    single = [find(q, sbwt, opts) for q in queries]
+    assert batched == single
