@@ -114,14 +114,38 @@ def call(
     sequence, so ``Variant.query_pos`` is a position in the user's reference,
     matching VCF POS semantics (reference: src/lib.rs:561-568).
     """
+    import os
+
     opts = call_opts or CallOpts()
+    ref_seq = bytes(ref_seq)
     with stage("call", bases=len(ref_seq)):
-        sbwt_ref = build([bytes(ref_seq)], opts.sbwt_build_opts)
-        assert sbwt_ref.k == sbwt_query.k
+        device_ok = (
+            os.environ.get("KBO_TPU_BACKEND", "auto") != "host"
+            and len(ref_seq) >= 1024
+        )
+        if device_ok:
+            # skip the reference's index-construction-inside-call
+            # (src/lib.rs:553): the per-candidate k-mer MS re-runs join
+            # directly against the reference sequence's window keys on
+            # device (engine.compute_ms_values_vs_seq)
+            assert opts.sbwt_build_opts.k == sbwt_query.k
+            ref_codes = encode_ascii(ref_seq)
+            if opts.sbwt_build_opts.add_revcomp:
+                from kbo_tpu.index.encode import revcomp_ascii
+
+                sep = np.array([255], dtype=np.uint8)
+                ref_codes = np.concatenate(
+                    [ref_codes, sep, encode_ascii(revcomp_ascii(ref_seq))]
+                )
+            inner = ref_codes
+        else:
+            sbwt_ref = build([ref_seq], opts.sbwt_build_opts)
+            assert sbwt_ref.k == sbwt_query.k
+            inner = sbwt_ref
         variants = variant_calling.call_variants(
             sbwt_query,  # -> call_variants' sbwt_ref slot
-            sbwt_ref,  # -> call_variants' sbwt_query slot
-            bytes(ref_seq),
+            inner,  # -> call_variants' sbwt_query slot (index or raw codes)
+            ref_seq,
             opts.max_error_prob,
         )
     get_stats().add("variants_called", len(variants))

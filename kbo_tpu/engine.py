@@ -183,3 +183,40 @@ class SparseIntervals:
                 f"interval at position {pos} was not prefetched"
             )
         return entry[int(col)]
+
+
+def compute_ms_values_vs_seq(
+    ref_codes: np.ndarray, code_list: list[np.ndarray], k: int
+):
+    """Batched MS values of short queries against a RAW sequence (no index).
+
+    Device path for the reference's build-an-index-inside-call() pattern
+    (reference: src/lib.rs:553): joins query k-mer windows directly against
+    the sequence's own window keys -- no host index construction. Falls
+    back to a host build + oracle for tiny inputs.
+    """
+    if not code_list:
+        return []
+    ref_codes = np.asarray(ref_codes)
+    backend = _backend()
+    if backend == "host" or (
+        backend == "auto" and ref_codes.size < 4 * _HOST_CUTOFF
+    ):
+        from kbo_tpu.index.build import build_index_from_segments
+        from kbo_tpu.index.encode import split_segments
+        from kbo_tpu.ops.ms import query_ms_codes
+
+        index = build_index_from_segments(split_segments(ref_codes), k)
+        return [query_ms_codes(index, c)[0] for c in code_list]
+
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.ms import INVALID, _ms3_batch_vs_seq_jit
+    from kbo_tpu.pipeline import pad_batch
+
+    buf = np.full(ref_codes.size + k - 1, INVALID, dtype=np.uint8)
+    buf[k - 1 :] = ref_codes
+    codes, _ = pad_batch([np.asarray(c) for c in code_list], bucket=True)
+    ms = _ms3_batch_vs_seq_jit(jnp.asarray(buf), jnp.asarray(codes), k)
+    ms = np.asarray(ms, dtype=np.int64)
+    return [ms[i, : c.size] for i, c in enumerate(code_list)]

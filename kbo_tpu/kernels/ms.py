@@ -100,11 +100,16 @@ def pack_windows_2bit(buf, k: int):
     return words, limit
 
 
-def pack_windows_3bit(buf, k: int):
-    """3-bit window keys ('$'/invalid/pre-start -> never-match chunk 7)."""
+def pack_windows_3bit(buf, k: int, pad_chunk: int = 7):
+    """3-bit window keys ('$'/invalid/pre-start -> `pad_chunk`).
+
+    Query sides pad with 7; an index side built directly from a sequence
+    (no dedup) pads with 5, so its pads never match a query's real chars
+    (1..4) NOR a query's own pads (7) -- the exact '$'-boundary semantics.
+    """
     T = buf.shape[0]
     valid = (buf >= 1) & (buf <= 4)
-    c = jnp.where(valid, buf.astype(jnp.uint32), jnp.uint32(7))
+    c = jnp.where(valid, buf.astype(jnp.uint32), jnp.uint32(pad_chunk))
     words = []
     for w in range(w3_for_k(k)):
         acc = jnp.zeros(T, dtype=jnp.uint32)
@@ -112,7 +117,7 @@ def pack_windows_3bit(buf, k: int):
             t = w * 10 + j
             if t >= k:
                 break
-            acc = acc | (_shift_up_const(c, t, 7) << (27 - 3 * j))
+            acc = acc | (_shift_up_const(c, t, pad_chunk) << (27 - 3 * j))
         words.append(acc)
     return words
 
@@ -312,6 +317,33 @@ def _intervals_from_keys(keys3, q_words, ms):
 def intervals3_core(keys3, buf, ms, k: int):
     """Colex intervals [l, r) of each buffer position's matched suffix."""
     return _intervals_from_keys(keys3, pack_windows_3bit(buf, k), ms)
+
+
+def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
+    """Per-position MS of a [Q, L] probe batch against a raw sequence.
+
+    The "index" side is the sequence's OWN window keys -- every position of
+    ref_buf, 3-bit packed with pad chunk 5, no sorting/dedup/host
+    construction (duplicates and $-padded partial windows don't change
+    nearest-neighbor common-prefix values, and chunk 5 reproduces '$'
+    boundary semantics exactly: it never matches a probe's real chars 1..4
+    nor the probe-side pad 7). This powers the reference's
+    build-an-index-inside-call() pattern (src/lib.rs:553) on device: the
+    variant caller's per-candidate k-mer MS re-runs join directly against
+    the reference sequence. Returns ms int32 [Q, L].
+    """
+    ref_words = pack_windows_3bit(ref_buf, k, pad_chunk=5)
+    Q, L = q_codes.shape
+    pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+    qbuf = jnp.concatenate([pad, q_codes], axis=1).reshape(-1)
+    q_words = pack_windows_3bit(qbuf, k, pad_chunk=7)
+    meta = jnp.arange(qbuf.shape[0], dtype=jnp.int32)
+    c = _neighbor_common(ref_words, q_words, meta, _common3)
+    ms = jnp.minimum(c, jnp.int32(k))
+    return ms.reshape(Q, L + k - 1)[:, k - 1 :]
+
+
+_ms3_batch_vs_seq_jit = jax.jit(ms3_batch_vs_seq_core, static_argnames=("k",))
 
 
 # ---------------------------------------------------------- jit wrappers

@@ -137,7 +137,8 @@ def call_variants(
     from kbo_tpu import engine
     from kbo_tpu.index.encode import decode_codes
 
-    assert sbwt_ref.k == sbwt_query.k
+    if isinstance(sbwt_query, SbwtIndex):
+        assert sbwt_ref.k == sbwt_query.k
     k = sbwt_ref.k
     d = random_match_threshold(k, sbwt_ref.n_kmers, 4, max_error_prob)
 
@@ -183,7 +184,16 @@ def call_variants(
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
     ms_vs_ref_list = engine.compute_ms_values_many(sbwt_ref, qk_codes)
-    ms_vs_query_list = engine.compute_ms_values_many(sbwt_query, rk_codes)
+    if isinstance(sbwt_query, SbwtIndex):
+        assert sbwt_ref.k == sbwt_query.k
+        ms_vs_query_list = engine.compute_ms_values_many(sbwt_query, rk_codes)
+    else:
+        # raw encoded sequence: device join against its window keys -- the
+        # reference's build-an-index-inside-call() (src/lib.rs:553) without
+        # the index construction
+        ms_vs_query_list = engine.compute_ms_values_vs_seq(
+            sbwt_query, rk_codes, k
+        )
 
     calls: list[Variant] = []
     for t, i in enumerate(sites):

@@ -106,3 +106,39 @@ def test_variants_in_same_query():
     assert variants[1] == Variant(query_pos=41, query_chars=b"C", ref_chars=b"T")
     assert variants[2] == Variant(query_pos=59, query_chars=b"C", ref_chars=b"")
     assert len(variants) == 3
+
+
+def test_call_vs_seq_device_path():
+    """The index-free device call path (k-mer joins directly against the
+    reference sequence's window keys) produces identical variants to the
+    host build-an-index path."""
+    import os
+
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, CallOpts, build, call
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 8000
+    query = bases[rng.integers(0, 4, n)].tobytes()
+    ref = bytearray(query)
+    ref[2000] = bases[(np.frombuffer(query[2000:2001], np.uint8)[0] % 4 + 1) % 4]
+    del ref[5000:5002]
+    ref[6500:6500] = b"TT"
+    ref = bytes(ref)
+
+    opts_b = BuildOpts(k=51, build_select=True)
+    sbwt_q = build([query], opts_b)
+    opts = CallOpts(sbwt_build_opts=opts_b)
+
+    got = call(sbwt_q, ref, opts)  # auto backend: vs-seq device path
+    os.environ["KBO_TPU_BACKEND"] = "host"
+    try:
+        want = call(sbwt_q, ref, opts)
+    finally:
+        del os.environ["KBO_TPU_BACKEND"]
+    assert [(v.query_pos, v.query_chars, v.ref_chars) for v in got] == [
+        (v.query_pos, v.query_chars, v.ref_chars) for v in want
+    ]
+    assert len(got) == 3
