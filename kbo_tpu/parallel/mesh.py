@@ -87,3 +87,76 @@ def matches_batch_sharded(
     )
     chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
     return [chars[i, : c.size] for i, c in enumerate(code_list)]
+
+
+def matches_long_sharded(
+    index: SbwtIndex,
+    codes: np.ndarray,
+    threshold: int,
+    mesh: Mesh | None = None,
+):
+    """Sequence-parallel fused pipeline over ONE long query.
+
+    The reference streams sequentially (O(1)-state walk); here every MS
+    value depends only on its k-window, and the derandomize/translate
+    recurrences only propagate information within k + threshold + 2
+    positions of a reset, so splitting the sequence into per-device chunks
+    with a halo of that size is EXACT (SURVEY §5 "long-context /
+    sequence parallelism"). Each device runs the fused
+    MS -> derandomize -> translate pipeline on its chunk + halo and the
+    halo is trimmed on the way out.
+
+    Returns (chars uint8 [L], ms int64 [L]).
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    codes = np.asarray(codes, dtype=np.uint8)
+    L = codes.size
+    k = index.k
+    halo = k + int(threshold) + 2
+    chunk = (L + n - 1) // n
+    assert chunk > halo, (
+        f"sequence of {L} too short to shard {n} ways with halo {halo}"
+    )
+    # per-shard rows: [chunk + 2*halo] tail-padded with INVALID. Shard 0
+    # starts AT the sequence start (no left pad) so translate's
+    # position-0/1 special case (prev = k, reference src/translate.rs:277)
+    # applies to the true sequence start, not a pad position.
+    width = chunk + 2 * halo
+    rows = np.full((n, width), INVALID, dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    offs = np.zeros(n, dtype=np.int64)  # row index of position i*chunk
+    for i in range(n):
+        s = i * chunk
+        lo = max(0, s - halo)
+        hi = min(L, s + chunk + halo)
+        rows[i, : hi - lo] = codes[lo:hi]
+        lengths[i] = hi - lo
+        offs[i] = s - lo
+
+    from kbo_tpu.engine import device_index
+
+    dev = device_index(index)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    chars, ms = _sharded_matches(
+        jax.device_put(dev.keys2, repl),
+        jax.device_put(dev.dummy2, repl),
+        jax.device_put(dev.dummy_v, repl),
+        jax.device_put(jnp.asarray(rows), shard),
+        jax.device_put(jnp.asarray(lengths), shard),
+        dev.k,
+        jnp.int32(threshold),
+        mesh,
+    )
+    chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
+    ms = np.asarray(ms, dtype=np.int64)
+    out_chars = np.empty(L, dtype=np.uint8)
+    out_ms = np.empty(L, dtype=np.int64)
+    for i in range(n):
+        s = i * chunk
+        e = min(L, s + chunk)
+        off = int(offs[i])
+        out_chars[s:e] = chars[i, off : off + (e - s)]
+        out_ms[s:e] = ms[i, off : off + (e - s)]
+    return out_chars, out_ms

@@ -57,3 +57,31 @@ def test_pipeline_vs_scalar_oracle():
         noisy, _ = query_ms_codes(sbwt, codes)
         expected = translate_ms_vec(derandomize_ms_vec(noisy, 15, t), 15, t)
         assert [chr(c) for c in chars] == expected
+
+
+def test_long_sharded_matches_single():
+    """Sequence parallelism with halo is exact: sharding one long query
+    over 8 devices gives identical chars + ms to the unsharded pipeline."""
+    from kbo_tpu.parallel.mesh import make_mesh, matches_long_sharded
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, 5000)].tobytes()
+    streamed = bytearray(ref)
+    for p in range(100, 4900, 250):  # dense SNPs: many resets near halos
+        streamed[p] = bases[rng.integers(0, 4)]
+    streamed[2000:2400] = bases[rng.integers(0, 4, 400)].tobytes()  # long gap
+    streamed[1] = bases[rng.integers(0, 4)]  # sequence-start special case
+    streamed = bytes(streamed)
+
+    index = build([ref], BuildOpts(k=31))
+    threshold = random_match_threshold(31, index.n_kmers, 4, 1e-7)
+    codes = encode_ascii(streamed)
+
+    from kbo_tpu.pipeline import matches_ms_batch
+
+    want_chars, want_ms = matches_ms_batch(index, [codes], threshold)
+    mesh = make_mesh(8)
+    got_chars, got_ms = matches_long_sharded(index, codes, threshold, mesh)
+    np.testing.assert_array_equal(got_ms, want_ms[0])
+    np.testing.assert_array_equal(got_chars, want_chars[0])
