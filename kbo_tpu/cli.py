@@ -106,11 +106,25 @@ def _find_rows(rles, strand: str, qlen: int):
 
 
 def cmd_find(args, out=None):
-    out = out or sys.stdout
-    query_records = [
-        (name, seq) for f in args.inputs for name, seq in read_fastx(f)
-    ]
-    query_file = ",".join(os.path.basename(f) for f in args.inputs)
+    """Find with per-(target, query-file) checkpointing.
+
+    Queries are stateless, so failure recovery is batch-granular
+    (SURVEY §5): with -o/--output, every completed (reference target,
+    query file) pair is recorded in <output>.ckpt and --resume skips
+    completed pairs, appending only missing results.
+    """
+    ckpt_path = f"{args.output}.ckpt" if args.output else None
+    done: set[str] = set()
+    if args.output and args.resume and os.path.exists(ckpt_path):
+        done = set(open(ckpt_path).read().splitlines())
+    if args.output:
+        mode = "a" if args.resume and os.path.exists(args.output) else "w"
+        out = open(args.output, mode)
+        write_header = mode == "w"
+    else:
+        out = out or sys.stdout
+        write_header = True
+
     ref_file = os.path.basename(args.index or args.reference)
     find_opts = FindOpts(
         max_error_prob=args.max_error_prob, max_gap_len=args.max_gap_len
@@ -140,36 +154,50 @@ def cmd_find(args, out=None):
         "query\tref\tq.start\tq.end\tstrand\tlength\tmismatches\tgap_bases"
         "\tgap_opens\tidentity\tcoverage\tquery.contig\tref.contig"
     )
-    print(header, file=out)
+    if write_header:
+        print(header, file=out)
     for target_name, index, ref_len in targets:
-        # one fused device batch per target: every query contig, both strands
-        batch = [
-            seq
-            for _, qseq in query_records
-            for seq in (qseq, revcomp_ascii(qseq))
-        ]
-        rle_lists = find_batch(batch, index, find_opts)
-        for qi, (qname, qseq) in enumerate(query_records):
-            qlen = len(qseq)
-            for si, strand in enumerate("+-"):
-                rles = rle_lists[2 * qi + si]
-                for rle, start, end in _find_rows(rles, strand, qlen):
-                    length = rle.end - rle.start
-                    aligned = rle.matches + rle.mismatches
-                    identity = (
-                        100.0 * rle.matches / length if length else 0.0
-                    )
-                    coverage = (
-                        100.0 * aligned / ref_len if ref_len else 0.0
-                    )
-                    qcontig = qname if args.detailed else qname
-                    print(
-                        f"{query_file}\t{ref_file}\t{start}\t{end}\t{strand}"
-                        f"\t{length}\t{rle.mismatches}\t{rle.gap_bases}"
-                        f"\t{rle.gap_opens}\t{identity:.2f}\t{coverage:.2f}"
-                        f"\t{qcontig}\t{target_name}",
-                        file=out,
-                    )
+        for path in args.inputs:
+            query_file = os.path.basename(path)
+            key = f"{target_name}\t{query_file}"
+            if key in done:
+                continue
+            query_records = read_fastx(path)
+            # one fused device batch per (target, file): every query
+            # contig, both strands
+            batch = [
+                seq
+                for _, qseq in query_records
+                for seq in (qseq, revcomp_ascii(qseq))
+            ]
+            rle_lists = find_batch(batch, index, find_opts)
+            for qi, (qname, qseq) in enumerate(query_records):
+                qlen = len(qseq)
+                for si, strand in enumerate("+-"):
+                    rles = rle_lists[2 * qi + si]
+                    for rle, start, end in _find_rows(rles, strand, qlen):
+                        length = rle.end - rle.start
+                        aligned = rle.matches + rle.mismatches
+                        identity = (
+                            100.0 * rle.matches / length if length else 0.0
+                        )
+                        coverage = (
+                            100.0 * aligned / ref_len if ref_len else 0.0
+                        )
+                        print(
+                            f"{query_file}\t{ref_file}\t{start}\t{end}"
+                            f"\t{strand}\t{length}\t{rle.mismatches}"
+                            f"\t{rle.gap_bases}\t{rle.gap_opens}"
+                            f"\t{identity:.2f}\t{coverage:.2f}"
+                            f"\t{qname}\t{target_name}",
+                            file=out,
+                        )
+            if ckpt_path:
+                out.flush()
+                with open(ckpt_path, "a") as ck:
+                    print(key, file=ck)
+    if args.output:
+        out.close()
 
 
 def cmd_map(args, out=None):
@@ -240,7 +268,13 @@ def make_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--max-gap-len", type=int, default=0)
     sp.add_argument("--detailed", action="store_true")
-    sp.add_argument("-i", "--index", help="prebuilt index prefix (.kbo.npz)")
+    sp.add_argument("-i", "--index", help="prebuilt index prefix (.kbo.npz or .sbwt)")
+    sp.add_argument("-o", "--output", help="write TSV to this file (enables --resume)")
+    sp.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip (reference, query-file) pairs recorded in <output>.ckpt",
+    )
     sp.set_defaults(func=cmd_find)
 
     sp = sub.add_parser("map", help="reference-based alignment (.aln)")

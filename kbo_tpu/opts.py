@@ -15,10 +15,19 @@ from typing import Optional
 class BuildOpts:
     """Options for SBWT index construction (reference: src/lib.rs:259-313).
 
-    ``num_threads``, ``mem_gb``, ``dedup_batches`` and ``temp_dir`` control the
-    reference's external-memory sorting backends; our construction is a single
-    vectorized host (numpy) / device (jax) sort, so they are accepted for
-    compatibility but only ``temp_dir`` has no effect beyond selecting nothing.
+    Semantics in this framework:
+
+    - ``num_threads``: parallelizes the colex sort (last-character bucket
+      partition, concurrent numpy sorts -- see index/build.py).
+    - ``build_select``: accepted for compatibility; select/access support is
+      inherent in the packed-bitvector layout, so nothing extra is built.
+    - ``prefix_precalc``: accepted; the sort-join engine has no prefix
+      lookup table to precompute (it replaces interval extension entirely),
+      so the value is unused by design.
+    - ``mem_gb``, ``dedup_batches``, ``temp_dir``: the reference's
+      external-memory sorting knobs; construction here is one vectorized
+      in-memory sort (bacterial-scale inputs are tens of MB), so these are
+      accepted but inert.
     """
 
     k: int = 31

@@ -88,10 +88,12 @@ map_pipeline = jax.jit(map_pipeline_core, static_argnames=("k",))
 
 
 def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b <<= 1
-    return b
+    """1/8-octave bucketing (see kernels.ms._bucket)."""
+    if n <= lo:
+        return lo
+    p = 1 << (int(n).bit_length() - 1)
+    step = max(1, p >> 3)
+    return ((n + step - 1) // step) * step
 
 
 def pad_batch(code_list: list[np.ndarray], L: int | None = None, bucket=False):

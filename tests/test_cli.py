@@ -105,3 +105,17 @@ def test_cli_build_and_find_prebuilt(genome_pair, tmp_path, capsys):
     _run(["build", "-o", prefix, str(ref_path)], capsys)
     out = _run(["find", "-i", prefix, str(q_path)], capsys)
     assert len(out.strip().splitlines()) >= 2
+
+
+def test_cli_find_checkpoint_resume(genome_pair, tmp_path, capsys):
+    ref_fa, query_fa, _ = genome_pair
+    out_path = str(tmp_path / "hits.tsv")
+    main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path])
+    first = open(out_path).read()
+    assert open(f"{out_path}.ckpt").read().strip().endswith(".fasta")
+    # resume with the pair already done: no duplicate rows appended
+    main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path, "--resume"])
+    assert open(out_path).read() == first
+    # fresh run without --resume overwrites
+    main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path])
+    assert open(out_path).read() == first
