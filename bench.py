@@ -154,6 +154,34 @@ def main():
     map_bps = n / map_s
     find_bps = n / find_s
 
+    # batch-serving metric: 512 x 4k read-length queries, one fused batch
+    from kbo_tpu.pipeline import matches_pipeline_core, pad_batch
+
+    QN, QL = 512, 4096
+    q_list = []
+    for i in range(QN):
+        s0 = (i * 3901) % (n - QL)
+        q = bytearray(streamed[s0 : s0 + QL])
+        q_list.append(np.frombuffer(bytes(q), dtype=np.uint8))
+    from kbo_tpu.index.encode import encode_ascii as _enc
+
+    codes_b, lengths_b = pad_batch([_enc(bytes(q)) for q in q_list])
+
+    def run_batch(keys2, dummy2, dummy_v, codes, lengths, threshold):
+        chars, ms = matches_pipeline_core(
+            keys2, dummy2, dummy_v, codes, lengths, k, threshold
+        )
+        return jnp.sum(chars.astype(jnp.int32)) + jnp.sum(ms), chars
+
+    batch_fn = jax.jit(run_batch)
+    batch_args = (
+        dev.keys2, dev.dummy2, dev.dummy_v,
+        jnp.asarray(codes_b), jnp.asarray(lengths_b), thr,
+    )
+    batch_compile, batch_s, _ = timeit(batch_fn, batch_args)
+    batch_qps = QN / batch_s
+    batch_bps = QN * QL / batch_s
+
     # parity check on device: upload native chars, compare, fetch count
     mism = None
     if chars_b is not None:
@@ -180,7 +208,9 @@ def main():
         f"# build={build_s:.1f}s rtt={rtt*1e3:.0f}ms "
         f"map: compile={map_compile:.1f}s device={map_s*1e3:.1f}ms "
         f"find: compile={find_compile:.1f}s device={find_s*1e3:.1f}ms "
-        f"({find_bps/1e6:.1f} Mbases/s)"
+        f"({find_bps/1e6:.1f} Mbases/s) "
+        f"batch[{QN}x{QL}]: device={batch_s*1e3:.1f}ms "
+        f"({batch_qps:,.0f} queries/s, {batch_bps/1e6:.1f} Mbases/s)"
         + (
             f" native_single_core={base_bps:,.0f} bases/s parity_mismatches={mism}"
             if base_bps

@@ -227,6 +227,15 @@ def _neighbor_common(ref_words, q_words, q_meta, common_fn):
     c_prev = jnp.where(pok, common_fn(sw, pv), 0)
     c_next = jnp.where(nok, common_fn(sw, nv), 0)
     c = jnp.maximum(c_prev, c_next)
+    if n + L < (1 << 24) - 1:
+        # back sort on ONE operand: c <= 260 < 256 after capping (exact
+        # for all k <= 255 since ms is min(c, k) downstream) packs into the
+        # slot id's low byte, halving the back-sort traffic; ref slots pack
+        # to the uint32 top so they sort last
+        slot = jnp.where(is_ref, jnp.uint32(0xFFFFFF), smeta.astype(jnp.uint32))
+        packed = (slot << 8) | jnp.minimum(c, 255).astype(jnp.uint32)
+        back = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+        return (back[0][:L] & 255).astype(jnp.int32)
     back = jax.lax.sort((smeta, c), num_keys=1, is_stable=False)
     return back[1][:L]
 
