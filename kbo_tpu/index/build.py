@@ -1,10 +1,12 @@
-"""SBWT construction (host, vectorized numpy).
+"""SBWT construction (host, vectorized numpy over packed keys).
 
-Construction is a preprocessing step in the reference as well (it forwards to
-the sbwt crate's bit-packed k-mer sorting, reference: src/index.rs:56-99); we
-build with vectorized numpy: windows -> colex lexsort -> dedup -> subset
-matrix + rank tables + LCS. A device (jax.lax.sort) construction path can be
-added behind the same interface for the `call()` hot path.
+Construction is a preprocessing step in the reference as well (it forwards
+to the sbwt crate's bit-packed k-mer sorting, reference: src/index.rs:56-99).
+Here every window packs into W3 = ceil(k/10) uint32 words of 3-bit chunks
+(last char most significant, '$' = 0), so the colex sort is a lexsort over
+W3 uint32 columns instead of k uint8 columns, and the LCS array, C array,
+subset-matrix edges, and the sort-join key tables all derive from the same
+packed words -- no [n, k] window matrix is ever materialized.
 
 Row-set semantics (pinned by the golden MS vector, reference:
 src/index.rs:224-241): rows are the distinct length-k windows of
@@ -29,112 +31,84 @@ except AttributeError:  # pragma: no cover - fallback for old numpy
         return _LUT16[w & 0xFFFF].astype(np.int32) + _LUT16[w >> 16]
 
 
-def _window_matrix(segments: list[np.ndarray], k: int) -> np.ndarray:
-    """All length-k windows of $^k + segment, stacked. uint8 [n, k]."""
-    parts = []
-    for seg in segments:
-        padded = np.concatenate([np.zeros(k, dtype=np.uint8), seg])
-        win = np.lib.stride_tricks.sliding_window_view(padded, k)
-        parts.append(win[: seg.size + 1])
-    return np.ascontiguousarray(np.concatenate(parts, axis=0))
+def _shift_up(x: np.ndarray, t: int) -> np.ndarray:
+    """y[p] = x[p - t], zero-filled (static t)."""
+    if t == 0:
+        return x
+    out = np.zeros_like(x)
+    out[t:] = x[:-t]
+    return out
 
 
-def _sort_block(rows: np.ndarray) -> np.ndarray:
-    """Colex sort one block of rows (primary key = last column), dedup."""
-    k = rows.shape[1]
-    order = np.lexsort(tuple(rows[:, j] for j in range(k)))
-    rows = rows[order]
-    if rows.shape[0] > 1:
-        keep = np.empty(rows.shape[0], dtype=bool)
-        keep[0] = True
-        np.any(rows[1:] != rows[:-1], axis=1, out=keep[1:])
-        rows = rows[keep]
-    return rows
+def _pack_positions(buf: np.ndarray, k: int):
+    """Packed keys for every position of a code buffer (values 0..4).
 
-
-def _colex_sort_dedup(rows: np.ndarray, num_threads: int = 1) -> np.ndarray:
-    """Colex sort rows and drop duplicates.
-
-    With num_threads > 1, rows partition by their last character (the
-    primary colex key) and the buckets sort concurrently -- numpy's sorts
-    release the GIL, so plain threads scale. Duplicates share every
-    character, so per-bucket dedup is global dedup; concatenating buckets
-    in character order restores full colex order. This is the new
-    framework's take on the reference's construction-thread knob
-    (reference: src/index.rs:75,88).
+    Returns (w3: list of W3 uint32 [T] -- 3-bit chunks, '$'=0;
+    w2: list of W2 uint32 [T] -- 2-bit chunks, '$' packs to 3;
+    v: int32 [T] -- min(k, valid run ending at the position)).
     """
-    if num_threads > 1 and rows.shape[0] > (1 << 16):
+    T = buf.size
+    c3 = buf.astype(np.uint32)
+    c2 = (c3 - 1) & 3
+    w3 = []
+    for w in range((k + 9) // 10):
+        acc = np.zeros(T, dtype=np.uint32)
+        for j in range(10):
+            t = w * 10 + j
+            if t >= k:
+                break
+            acc |= _shift_up(c3, t) << np.uint32(27 - 3 * j)
+        w3.append(acc)
+    w2 = []
+    for w in range((k + 15) // 16):
+        acc = np.zeros(T, dtype=np.uint32)
+        for j in range(16):
+            t = w * 16 + j
+            if t >= k:
+                break
+            acc |= _shift_up(c2, t) << np.uint32(30 - 2 * j)
+        w2.append(acc)
+    idx = np.arange(T, dtype=np.int64)
+    last_bad = np.maximum.accumulate(np.where(buf == 0, idx, -1))
+    v = np.minimum(k, idx - last_bad).astype(np.int32)
+    return w3, w2, v
+
+
+def _common_chunks_np(a, b):
+    """Common 3-bit-chunk prefix length between word lists (numpy)."""
+    total = np.zeros(a[0].shape, dtype=np.int32)
+    alive = np.ones(a[0].shape, dtype=bool)
+    for w in range(len(a)):
+        x = a[w] ^ b[w]
+        nz = x != 0
+        # highest set bit via frexp (exact for < 2^53)
+        hb = np.frexp(x.astype(np.float64))[1] - 1
+        cw = np.where(nz, (29 - hb) // 3, 10).astype(np.int32)
+        total += np.where(alive, cw, 0)
+        alive &= ~nz
+    return total
+
+
+def _lexsort_words(words, num_threads: int = 1) -> np.ndarray:
+    """Sort order over parallel uint32 word columns (most significant
+    first). With num_threads > 1, partitions by the top chunk (the last
+    character, primary colex key) and sorts buckets concurrently."""
+    n = words[0].size
+    keys = tuple(reversed(words))  # lexsort: last key is primary
+    if num_threads > 1 and n > (1 << 16):
         from concurrent.futures import ThreadPoolExecutor
 
-        last = rows[:, -1]
+        top = words[0] >> np.uint32(27)
+
+        def sort_bucket(c):
+            sel = np.flatnonzero(top == c)
+            sub = np.lexsort(tuple(w[sel] for w in keys))
+            return sel[sub]
+
         with ThreadPoolExecutor(max_workers=num_threads) as ex:
-            parts = list(
-                ex.map(lambda c: _sort_block(rows[last == c]), range(5))
-            )
-        return np.concatenate([p for p in parts if p.shape[0]], axis=0)
-    return _sort_block(rows)
-
-
-def _lcs_array(rows: np.ndarray) -> np.ndarray:
-    """lcs[i] = longest common suffix length of rows i-1 and i."""
-    n, k = rows.shape
-    lcs = np.zeros(n, dtype=np.uint8)
-    if n > 1:
-        eq_rev = rows[1:, ::-1] == rows[:-1, ::-1]
-        # rows are distinct, so argmin (first False) is well defined
-        lcs[1:] = np.argmin(eq_rev, axis=1)
-    return lcs
-
-
-def _rank_strings(strings: np.ndarray) -> np.ndarray:
-    """Dense colex ranks of (k-1)-length code strings."""
-    m, w = strings.shape
-    if w == 0:
-        return np.zeros(m, dtype=np.int64)
-    order = np.lexsort(tuple(strings[:, j] for j in range(w)))
-    s = strings[order]
-    new_group = np.ones(m, dtype=np.int64)
-    if m > 1:
-        new_group[1:] = np.any(s[1:] != s[:-1], axis=1)
-    ranks_sorted = np.cumsum(new_group) - 1
-    ranks = np.empty(m, dtype=np.int64)
-    ranks[order] = ranks_sorted
-    return ranks
-
-
-def pack_rows_2bit(rows: np.ndarray) -> np.ndarray:
-    """Colex-packed 2-bit keys: uint32 [W2, n], 16 chars per word.
-
-    Chunk t (t-th char from the END of the row) occupies bits
-    [30 - 2*(t%16), 31 - 2*(t%16)] of word t//16, so integer order of the
-    word tuple == colex order of the rows (for pure-ACGT rows). Char codes
-    1..4 map to 0..3; '$' (0) maps to an arbitrary chunk -- callers must cap
-    match lengths with per-row validity when dummies are packed this way.
-    """
-    n, k = rows.shape
-    W = (k + 15) // 16
-    keys = np.zeros((W, n), dtype=np.uint32)
-    chunks = ((rows[:, ::-1].astype(np.uint32) - 1) & 3)  # chunk t = col t
-    for t in range(k):
-        keys[t // 16] |= chunks[:, t] << (30 - 2 * (t % 16))
-    return keys
-
-
-def pack_rows_3bit(rows: np.ndarray) -> np.ndarray:
-    """Colex-packed 3-bit keys: uint32 [W3, n], 10 chars per word.
-
-    Chunk values are the raw codes (0='$' < 1..4=ACGT), so integer order ==
-    true colex order including dummy rows; chunk value 7 never occurs in an
-    index key and serves as the query-side never-match sentinel. Chunk t sits
-    at bits [27 - 3*(t%10) ..] of word t//10; the top 2 bits are zero.
-    """
-    n, k = rows.shape
-    W = (k + 9) // 10
-    keys = np.zeros((W, n), dtype=np.uint32)
-    chunks = rows[:, ::-1].astype(np.uint32)
-    for t in range(k):
-        keys[t // 10] |= chunks[:, t] << (27 - 3 * (t % 10))
-    return keys
+            parts = list(ex.map(sort_bucket, range(5)))
+        return np.concatenate(parts)
+    return np.lexsort(keys)
 
 
 def build_index_from_segments(
@@ -143,37 +117,84 @@ def build_index_from_segments(
     """Core construction from pre-encoded valid segments."""
     assert segments, "cannot build an index from empty input"
     assert 1 < k < 256, "k must be in (1, 256)"
-    rows = _colex_sort_dedup(_window_matrix(segments, k), num_threads)
-    n = rows.shape[0]
-    lcs = _lcs_array(rows)
-    real = rows[:, 0] != 0  # a '$' can only appear as a prefix
-    n_kmers = int(np.count_nonzero(real))
+    W3 = (k + 9) // 10
 
-    # packed sort-join keys (see kbo_tpu.kernels.ms): 2-bit keys over real
-    # rows for the value-only hot path; 3-bit keys over all rows for the
-    # interval path; dummy rows separately with their real-suffix lengths
-    keys2 = pack_rows_2bit(rows[real])
-    keys3 = pack_rows_3bit(rows)
-    dummies = rows[~real]
-    dummy2 = pack_rows_2bit(dummies)
-    dummy_v = (k - np.count_nonzero(dummies == 0, axis=1)).astype(np.int32)
+    # one flat buffer: k '$'s before each segment; window ending at the
+    # last '$' of the first pad is the all-$ root row
+    parts = []
+    for seg in segments:
+        parts.append(np.zeros(k, dtype=np.uint8))
+        parts.append(np.asarray(seg, dtype=np.uint8))
+    buf = np.concatenate(parts)
+    w3_all, w2_all, v_all = _pack_positions(buf, k)
+    pos = np.concatenate(
+        [np.array([k - 1], dtype=np.int64), np.flatnonzero(buf != 0)]
+    )
+    w3 = [w[pos] for w in w3_all]
+    w2 = [w[pos] for w in w2_all]
+    v = v_all[pos]
 
-    # C array from last-character boundaries (last column is non-decreasing).
-    last = rows[:, -1]
-    C = np.searchsorted(last, np.arange(1, N_BASES + 1)).astype(np.int32)
+    order = _lexsort_words(w3, num_threads)
+    w3 = [w[order] for w in w3]
+    m = w3[0].size
+    keep = np.ones(m, dtype=bool)
+    if m > 1:
+        eq = np.ones(m - 1, dtype=bool)
+        for w in range(W3):
+            eq &= w3[w][1:] == w3[w][:-1]
+        keep[1:] = ~eq
+    sel = np.flatnonzero(keep)
+    w3 = [w[sel] for w in w3]
+    w2 = [w[order][sel] for w in w2]
+    v = v[order][sel]
+    n = w3[0].size
 
-    # Incoming edge of every non-root row y = (prefix y[:k-1], char y[k-1]):
-    # set bit `char` on the colex-smallest row whose (k-1)-suffix equals the
-    # prefix. Match via dense ranks over the union of suffixes and prefixes.
-    union = np.concatenate([rows[:, 1:], rows[:, :-1]], axis=0)
-    ranks = _rank_strings(union)
+    # LCS: common suffix of colex-adjacent rows == common packed chunks
+    # ('$'-'$' ties can only occur below the first difference, so the chunk
+    # count equals the character count)
+    lcs = np.zeros(n, dtype=np.uint8)
+    if n > 1:
+        lcs[1:] = _common_chunks_np(
+            [w[1:] for w in w3], [w[:-1] for w in w3]
+        ).astype(np.uint8)
+
+    # C array from the (sorted, non-decreasing) last-character chunk
+    top = (w3[0] >> np.uint32(27)).astype(np.uint8)
+    C = np.searchsorted(top, np.arange(1, N_BASES + 1)).astype(np.int32)
+    n_kmers = int(np.count_nonzero(v == k))
+
+    # Incoming edge of every non-root row y: set bit `last char of y` on
+    # the colex-smallest row whose (k-1)-suffix equals y's (k-1)-prefix.
+    # suffix key = row key with the lowest real chunk (char 0) cleared;
+    # prefix key = row key shifted up one chunk (drops the last char,
+    # char 0 becomes the lowest real chunk). Both are (k-1)-char strings
+    # in the same alignment, so dense ranks over their union match them.
+    lcw, lsh = (k - 1) // 10, 27 - 3 * ((k - 1) % 10)
+    suffix_w = [w.copy() for w in w3]
+    suffix_w[lcw] &= ~np.uint32(0x7 << lsh)
+    prefix_w = []
+    for w in range(W3):
+        nxt = w3[w + 1] >> np.uint32(27) if w + 1 < W3 else np.uint32(0)
+        prefix_w.append(((w3[w] << np.uint32(3)) | nxt) & np.uint32(0x3FFFFFFF))
+    union = [
+        np.concatenate([suffix_w[w], prefix_w[w]]) for w in range(W3)
+    ]
+    uorder = _lexsort_words(union, num_threads)
+    differs = np.zeros(2 * n - 1, dtype=bool)
+    for w in range(W3):
+        s = union[w][uorder]
+        differs |= s[1:] != s[:-1]
+    new_group = np.ones(2 * n, dtype=np.int64)
+    new_group[1:] = differs
+    ranks_sorted = np.cumsum(new_group) - 1
+    ranks = np.empty(2 * n, dtype=np.int64)
+    ranks[uorder] = ranks_sorted
     r_suffix, r_prefix = ranks[:n], ranks[n:]
-    # r_suffix is non-decreasing along colex row order.
     y = np.arange(1, n)  # row 0 is the all-$ root: no incoming edge
     pred = np.searchsorted(r_suffix, r_prefix[y])
     if not np.all(r_suffix[pred] == r_prefix[y]):
         raise AssertionError("every non-root row must have a predecessor")
-    edge_char = last[y]  # 1..4
+    edge_char = top[y]  # 1..4
 
     # one guard word past the last row: rank queries at pos == n_rows (the
     # initial full interval's right end) index word n_rows >> 5, which falls
@@ -181,14 +202,16 @@ def build_index_from_segments(
     n_words = n // 32 + 1
     bits = np.zeros((N_BASES, n_words), dtype=np.uint32)
     for b in range(N_BASES):
-        sel = pred[edge_char == b + 1]
+        s = pred[edge_char == b + 1]
         np.bitwise_or.at(
-            bits[b], sel >> 5, (np.uint32(1) << (sel & 31).astype(np.uint32))
+            bits[b], s >> 5, (np.uint32(1) << (s & 31).astype(np.uint32))
         )
     pc = _popcount32(bits).astype(np.int64)
     cum = np.zeros((N_BASES, n_words), dtype=np.int64)
     cum[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
     assert cum.max(initial=0) < 2**31
+
+    real = v == k
     return SbwtIndex(
         k=k,
         n_rows=n,
@@ -197,10 +220,10 @@ def build_index_from_segments(
         cum=cum.astype(np.int32),
         C=C,
         lcs=lcs,
-        keys2=keys2,
-        keys3=keys3,
-        dummy2=dummy2,
-        dummy_v=dummy_v,
+        keys2=np.stack([w[real] for w in w2]),
+        keys3=np.stack(w3),
+        dummy2=np.stack([w[~real] for w in w2]),
+        dummy_v=v[~real],
     )
 
 
