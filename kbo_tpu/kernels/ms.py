@@ -208,20 +208,55 @@ def _common3(a, b):
     return total
 
 
-def _neighbor_common(ref_words, q_words, q_meta, common_fn):
+def _use_pallas_merge() -> bool:
+    import os
+
+    if os.environ.get("KBO_TPU_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - uninitialized backend
+        return False
+
+
+def _neighbor_common(ref_words, q_words, q_meta, common_fn, ref_sorted=True):
     """Max common-prefix length of each query key with any reference key.
 
     ref_words/q_words: lists of W uint32 arrays ([n] and [L]); q_meta:
     int32 [L] identifiers (< 2**31 - 1). Returns int32 [L] in q order.
+
+    On TPU with a presorted reference, only the query side radix-sorts and
+    the combine is the Pallas bitonic merge (kernels/pallas_sort.py, ~20x
+    faster than re-sorting the concatenation); the rank component (ref 0 <
+    query 1) pins equal reference keys before the probe, reproducing the
+    stable-radix tie semantics.
     """
     W = len(ref_words)
     n = ref_words[0].shape[0]
     L = q_words[0].shape[0]
-    words = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
-    meta = jnp.concatenate([jnp.full((n,), _BIG, jnp.int32), q_meta])
-    ops = _radix_sort(words + [meta], W)
-    sw, smeta = ops[:W], ops[W]
-    is_ref = smeta == _BIG
+    if ref_sorted and _use_pallas_merge():
+        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+        q_ops = _radix_sort(list(q_words) + [q_meta], W)
+        merged = bitonic_merge(
+            list(ref_words)
+            + [
+                jnp.zeros(n, jnp.int32),
+                jnp.full((n,), _BIG, jnp.int32),
+            ],
+            q_ops[:W] + [jnp.ones(L, jnp.int32), q_ops[W]],
+            n_comps=W + 1,
+        )
+        sw, smeta = merged[:W], merged[W + 1]
+        is_ref = merged[W] == 0
+    else:
+        words = [
+            jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)
+        ]
+        meta = jnp.concatenate([jnp.full((n,), _BIG, jnp.int32), q_meta])
+        ops = _radix_sort(words + [meta], W)
+        sw, smeta = ops[:W], ops[W]
+        is_ref = smeta == _BIG
     pv, pok = _propagate_nearest(sw, is_ref, reverse=False)
     nv, nok = _propagate_nearest(sw, is_ref, reverse=True)
     c_prev = jnp.where(pok, common_fn(sw, pv), 0)
@@ -347,7 +382,9 @@ def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
     qbuf = jnp.concatenate([pad, q_codes], axis=1).reshape(-1)
     q_words = pack_windows_3bit(qbuf, k, pad_chunk=7)
     meta = jnp.arange(qbuf.shape[0], dtype=jnp.int32)
-    c = _neighbor_common(ref_words, q_words, meta, _common3)
+    # the sequence-side keys are NOT presorted here, so the concat radix
+    # path is required (no merge shortcut)
+    c = _neighbor_common(ref_words, q_words, meta, _common3, ref_sorted=False)
     ms = jnp.minimum(c, jnp.int32(k))
     return ms.reshape(Q, L + k - 1)[:, k - 1 :]
 
@@ -399,14 +436,38 @@ def _intervals2_from_keys(keys2, q_words, ms):
         )
         floors.append(q_words[w] & ~ones)
         ceils.append(floors[w] | ones)
-    words = [
-        jnp.concatenate([floors[w], keys2[w], ceils[w]]) for w in range(W)
-    ]
     idx = jnp.arange(P, dtype=jnp.int32)
-    meta = jnp.concatenate([idx, jnp.full((n,), _BIG, jnp.int32), idx + P])
-    ops = _radix_sort(words + [meta], W)
-    smeta = ops[W]
-    is_ref = (smeta == _BIG).astype(jnp.int32)
+    if _use_pallas_merge():
+        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+        pw = [jnp.concatenate([floors[w], ceils[w]]) for w in range(W)]
+        prank = jnp.concatenate(
+            [jnp.zeros(P, jnp.int32), jnp.full((P,), 2, jnp.int32)]
+        )
+        pmeta = jnp.concatenate([idx, idx + P])
+        # stable LSD keeps floors before equal-keyed ceils, so the probe
+        # side is sorted by (keys, rank) as the merge comparator requires;
+        # rank 1 places reference rows between floor and ceil on key ties
+        p_ops = _radix_sort(pw + [prank, pmeta], W)
+        merged = bitonic_merge(
+            [keys2[w] for w in range(W)]
+            + [jnp.ones(n, jnp.int32), jnp.full((n,), _BIG, jnp.int32)],
+            p_ops,
+            n_comps=W + 1,
+        )
+        smeta = merged[W + 1]
+        is_ref = (merged[W] == 1).astype(jnp.int32)
+    else:
+        words = [
+            jnp.concatenate([floors[w], keys2[w], ceils[w]])
+            for w in range(W)
+        ]
+        meta = jnp.concatenate(
+            [idx, jnp.full((n,), _BIG, jnp.int32), idx + P]
+        )
+        ops = _radix_sort(words + [meta], W)
+        smeta = ops[W]
+        is_ref = (smeta == _BIG).astype(jnp.int32)
     before = jnp.cumsum(is_ref) - is_ref
     back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
     vals = back[1]
