@@ -85,3 +85,29 @@ def test_sparse_windows_intervals(k):
     ms_sp, iv_sp = compute_ms_intervals_at(sbwt, codes, positions)
     np.testing.assert_array_equal(ms_sp, ms_ref)
     np.testing.assert_array_equal(iv_sp, iv_ref)
+
+
+@pytest.mark.parametrize("k", [16, 17, 32, 33, 64])
+def test_word_boundary_k(k):
+    """k at packing word boundaries (16 chars per 2-bit word, 10 per
+    3-bit word) exercises the multi-word edge cases of every join path."""
+    from kbo_tpu.engine import compute_ms_intervals_at
+
+    rng = np.random.default_rng(900 + k)
+    ref = BASES[rng.integers(0, 4, 600)].tobytes()
+    q = bytearray(BASES[rng.integers(0, 4, 400)].tobytes())
+    q[50:250] = ref[100:300]
+    q[300] = ord("N")
+    q = bytes(q)
+
+    sbwt = build([ref], BuildOpts(k=k))
+    codes = encode_ascii(q)
+    ms_ref, iv_ref = query_ms_codes(sbwt, codes)
+    np.testing.assert_array_equal(query_ms_values_device(sbwt, codes), ms_ref)
+    ms_d, iv_d = query_ms_device(sbwt, codes)
+    np.testing.assert_array_equal(ms_d, ms_ref)
+    np.testing.assert_array_equal(iv_d, iv_ref)
+    pos = np.arange(len(q))
+    ms_s, iv_s = compute_ms_intervals_at(sbwt, codes, pos)
+    np.testing.assert_array_equal(ms_s, ms_ref)
+    np.testing.assert_array_equal(iv_s, iv_ref)
