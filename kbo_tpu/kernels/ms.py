@@ -235,8 +235,10 @@ def _neighbor_common(ref_words, q_words, q_meta, common_fn, ref_sorted=True):
     n = ref_words[0].shape[0]
     L = q_words[0].shape[0]
     if ref_sorted and _use_pallas_merge():
+        from kbo_tpu.kernels.pallas_join import nearest_common
         from kbo_tpu.kernels.pallas_sort import bitonic_merge
 
+        bits = 2 if common_fn is _common2 else 3
         q_ops = _radix_sort(list(q_words) + [q_meta], W)
         merged = bitonic_merge(
             list(ref_words)
@@ -246,9 +248,24 @@ def _neighbor_common(ref_words, q_words, q_meta, common_fn, ref_sorted=True):
             ],
             q_ops[:W] + [jnp.ones(L, jnp.int32), q_ops[W]],
             n_comps=W + 1,
+            slice_output=False,  # pads are rank +inf: never references
         )
-        sw, smeta = merged[:W], merged[W + 1]
-        is_ref = merged[W] == 0
+        total = n + L
+        sw_p, srank_p = merged[:W], merged[W]
+        c_fwd = nearest_common(sw_p, srank_p, bits, reverse=False)
+        c_bwd = nearest_common(sw_p, srank_p, bits, reverse=True)
+        c = jnp.maximum(c_fwd, c_bwd)[:total]
+        smeta = merged[W + 1][:total]
+        if n + L < (1 << 24) - 1:
+            is_ref_s = srank_p[:total] == 0
+            slot = jnp.where(
+                is_ref_s, jnp.uint32(0xFFFFFF), smeta.astype(jnp.uint32)
+            )
+            packed = (slot << 8) | jnp.minimum(c, 255).astype(jnp.uint32)
+            back = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+            return (back[0][:L] & 255).astype(jnp.int32)
+        back = jax.lax.sort((smeta, c), num_keys=1, is_stable=False)
+        return back[1][:L]
     else:
         words = [
             jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)

@@ -161,12 +161,16 @@ def _run_block_stages(ops, n_comps, interpret):
     return [o.reshape(M) for o in out]
 
 
-def bitonic_merge(ops_a, ops_b, n_comps: int, interpret: bool = False):
+def bitonic_merge(
+    ops_a, ops_b, n_comps: int, interpret: bool = False, slice_output=True
+):
     """Merge two sorted operand lists; returns the merged list (len a+b).
 
     The first n_comps arrays are comparison components (both sides sorted
     ascending by them); the rest are payloads. Pads internally to a power
-    of two (>= BLOCK) with +inf components.
+    of two (>= BLOCK) with +inf components; with slice_output=False the
+    padded arrays return whole (pads sorted last), which downstream
+    Pallas passes can consume without re-padding.
     """
     na = int(ops_a[0].shape[0])
     nb = int(ops_b[0].shape[0])
@@ -188,7 +192,9 @@ def bitonic_merge(ops_a, ops_b, n_comps: int, interpret: bool = False):
         merged = _run_cross_stage(merged, s, n_comps, interpret)
         s >>= 1
     merged = _run_block_stages(merged, n_comps, interpret)
-    return [o[:total] for o in merged]
+    if slice_output:
+        return [o[:total] for o in merged]
+    return merged
 
 
 def _dir_mask(shape, dir_bit):
