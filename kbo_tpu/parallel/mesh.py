@@ -47,6 +47,9 @@ def _sharded_matches(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P("data"), P()),
         out_specs=P("data"),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # per-shard computation is manifestly data-parallel here
+        check_vma=False,
     )
     return fn(keys2, dummy2, dummy_v, codes, lengths, threshold)
 

@@ -175,3 +175,49 @@ def test_find_batch_matches_find():
     batched = find_batch(queries, sbwt, opts)
     single = [find(q, sbwt, opts) for q in queries]
     assert batched == single
+
+
+def test_map_randomized_differential_vs_oracle():
+    """Full map_ (join engine + sparse intervals + gap fill + call) vs the
+    scalar host-oracle backend on a randomized indel-rich pair."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build, map_
+
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 3000
+    query = bases[rng.integers(0, 4, n)].tobytes()
+    ref = bytearray(query)
+    ref[500] = bases[(np.frombuffer(query[500:501], np.uint8)[0] % 4 + 1) % 4]
+    del ref[1200:1203]
+    ref[2000:2000] = b"GTC"
+    ref[2500:2560] = bases[rng.integers(0, 4, 60)].tobytes()  # unrelated gap
+    ref = bytes(ref)
+
+    opts_b = BuildOpts(k=51, build_select=True)
+    sbwt_q = build([query], opts_b)
+    opts = MapOpts(sbwt_build_opts=opts_b)
+    got = map_(ref, sbwt_q, opts)
+
+    env = dict(os.environ, KBO_TPU_BACKEND="host")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from kbo_tpu import BuildOpts, MapOpts, build, map_\n"
+        "query = bytes.fromhex(%r); ref = bytes.fromhex(%r)\n"
+        "o = BuildOpts(k=51, build_select=True)\n"
+        "aln = map_(ref, build([query], o), MapOpts(sbwt_build_opts=o))\n"
+        "sys.stdout.write(aln.hex())\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         query.hex(), ref.hex())
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert bytes.fromhex(out.stdout.strip()) == got
