@@ -30,14 +30,19 @@ Two key spaces:
 
 - **3-bit keys** (10 chars/word, all rows, '$'=0 < A..T=1..4, query
   invalid/pad=7 never matches): true colex integer order including dummies.
-  Used when colex intervals are needed (``map``/``call`` refinement): a
-  second sorted pass over per-position *floor* (chunks below MS zeroed) and
-  *ceil* (chunks below MS maxed) keys yields the interval [l, r) of each
-  matched suffix by counting reference keys before each probe.
+  Used by the full-interval reference path (query_ms_device) and by the
+  index-free vs-seq join (``call()``, pad chunk 5). Colex intervals for the
+  refinement layers come from the sparse 2-bit windows path
+  (ms2_windows_core): *floor* (pattern + 'A'-fill) and *ceil* (pattern +
+  'T'-fill) probes counted against the real rows plus an exact dummy-row
+  rank adjustment.
 
 Multi-word keys sort by LSD radix: W stable single-key ``lax.sort`` passes
 (one compiled sort reused per pass; a direct ``num_keys=W`` sort measured
-minutes of XLA:TPU compile time vs seconds for sort1).
+minutes of XLA:TPU compile time vs seconds for sort1). On TPU the combine
+against presorted reference keys is the Pallas bitonic merge and the
+nearest-reference propagation is the Pallas streaming kernel
+(kernels/pallas_sort.py, kernels/pallas_join.py).
 
 Golden vector to verify: query vs 18-base ref gives MS
 [1,2,2,3,2,2,3,2,1,2,3,1,1,1,2,3,1,2] (reference: src/index.rs:238-240).
@@ -572,31 +577,6 @@ def ms2_windows_core(keys2, dummy2, dummy_v, windows, k: int):
 _ms2_windows_jit = jax.jit(ms2_windows_core, static_argnames=("k",))
 
 
-def ms3_windows_core(keys3, windows, k: int):
-    """MS + intervals for a [P, k] matrix of window codes (3-bit join).
-
-    Each row is one k-window (left-padded with INVALID where the window
-    hangs over the query start). This is the sparse interval path: the
-    refinement layers (gap filling, variant calling) only ever read
-    intervals at data-dependent candidate positions, so the full-length
-    interval pass is never materialized (SURVEY §7.3 two-phase sparse
-    refinement).
-    """
-    P = windows.shape[0]
-    buf = windows.reshape(-1)
-    all_words = pack_windows_3bit(buf, k)
-    # the key at the last position of each row covers exactly that row
-    q_words = [w.reshape(P, k)[:, k - 1] for w in all_words]
-    meta = jnp.arange(P, dtype=jnp.int32)
-    ref_words = [keys3[w] for w in range(keys3.shape[0])]
-    ms = jnp.minimum(
-        _neighbor_common(ref_words, q_words, meta, _common3), jnp.int32(k)
-    )
-    l, r = _intervals_from_keys(keys3, q_words, ms)
-    return ms, l, r
-
-
-_ms3_windows_jit = jax.jit(ms3_windows_core, static_argnames=("k",))
 
 
 class DeviceIndex:

@@ -2,8 +2,9 @@
 
 The throughput ("kbo find/matches") hot path and the unit the distributed
 layer shards: a [Q, L] batch of padded queries goes in; alignment characters
-(and MS values, plus colex intervals on the map path) come out with no host
-round trips between stages. MS comes from the sort-join engine
+and MS values come out with no host round trips between stages (the map
+path's colex intervals are fetched sparsely afterwards -- see
+engine.SparseIntervals). MS comes from the sort-join engine
 (kbo_tpu.kernels.ms); derandomize/translate are the parallel reformulations
 in kbo_tpu.kernels.postprocess.
 """
@@ -17,13 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kbo_tpu.index.sbwt import SbwtIndex
-from kbo_tpu.kernels.ms import (
-    INVALID,
-    DeviceIndex,
-    intervals3_core,
-    ms2_core,
-    ms3_core,
-)
+from kbo_tpu.kernels.ms import INVALID, DeviceIndex, ms2_core
 from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
 
 
@@ -61,30 +56,6 @@ def matches_pipeline_core(
 matches_pipeline = jax.jit(matches_pipeline_core, static_argnames=("k",))
 
 
-def map_pipeline_core(keys3, codes, lengths, k: int, threshold):
-    """Full map-path device stage: MS + intervals + derandomize + translate.
-
-    codes: uint8 [Q, L]; returns (chars [Q, L] uint8, ms, l, r int32
-    [Q, L]). Uses the 3-bit all-rows join so dummy-row matches and colex
-    intervals match the reference's streaming search exactly.
-    """
-    Q, L = codes.shape
-    buf = _make_buf(codes, k)
-    ms_flat = ms3_core(keys3, buf, k)
-    l_flat, r_flat = intervals3_core(keys3, buf, ms_flat, k)
-    ms = _flat_ms_to_batch(ms_flat, Q, L, k)
-    l = _flat_ms_to_batch(l_flat, Q, L, k)
-    r = _flat_ms_to_batch(r_flat, Q, L, k)
-    derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
-        ms, lengths
-    )
-    chars = jax.vmap(lambda d, n: translate_core(d, k, threshold, n))(
-        derand, lengths
-    )
-    return chars, ms, l, r
-
-
-map_pipeline = jax.jit(map_pipeline_core, static_argnames=("k",))
 
 
 def _bucket(n: int, lo: int = 64) -> int:
