@@ -22,6 +22,21 @@ from kbo_tpu.refine import gap_filling, variant_calling
 from kbo_tpu.utils.stats import get_stats, stage
 
 
+def build_device(seq_data, build_opts: BuildOpts | None = None):
+    """Device-built ephemeral find index (no host SBWT construction).
+
+    Sorts the sequences' own window keys on device and counts distinct
+    k-mers there; supports :func:`find`/:func:`find_batch` only (map/call
+    refinement needs the full index). The TPU-native answer to the
+    reference's construction-dominates-one-shot-runs problem.
+    """
+    from kbo_tpu.kernels.ms import DeviceSeqIndex
+
+    opts = build_opts or BuildOpts()
+    seqs = [s.encode() if isinstance(s, str) else bytes(s) for s in seq_data]
+    return DeviceSeqIndex(seqs, opts.k, add_revcomp=opts.add_revcomp)
+
+
 def build(seq_data, build_opts: BuildOpts | None = None) -> SbwtIndex:
     """Build an SBWT index (+ LCS) from sequences (reference: src/lib.rs:501-506).
 
@@ -61,13 +76,17 @@ def find(
 
 def find_batch(
     query_seqs: list[bytes],
-    sbwt: SbwtIndex,
+    sbwt,
     find_opts: FindOpts | None = None,
     mesh=None,
 ) -> list[list[fmt.RLE]]:
     """Batched :func:`find`: all queries go through one fused device pipeline
     (data-parallel over a mesh when one is given), then per-query RLE
     extraction on host in input order.
+
+    ``sbwt`` may be a full :class:`SbwtIndex` or a device-built
+    :class:`kbo_tpu.kernels.ms.DeviceSeqIndex` (index-free one-shot path:
+    no host SBWT construction; see ``build_device``).
 
     This is the serving path the reference delegates to kbo-cli's per-record
     rayon loop (SURVEY §2.3); here the batch dimension is the device
@@ -82,7 +101,14 @@ def find_batch(
     code_list = [encode_ascii(bytes(q)) for q in query_seqs]
     total = sum(c.size for c in code_list)
     with stage("find_batch", bases=total):
-        if mesh is not None:
+        from kbo_tpu.kernels.ms import DeviceSeqIndex
+
+        if isinstance(sbwt, DeviceSeqIndex):
+            assert mesh is None, "device-seq index path is single-device"
+            from kbo_tpu.pipeline import matches_batch_seq
+
+            chars_list = matches_batch_seq(sbwt, code_list, threshold)
+        elif mesh is not None:
             from kbo_tpu.parallel.mesh import matches_batch_sharded
 
             chars_list = matches_batch_sharded(

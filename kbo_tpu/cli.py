@@ -136,16 +136,24 @@ def cmd_find(args, out=None):
         targets = [(ref_file, loader(args.index), None)]
     else:
         ref_records = read_fastx(args.reference)
+        if args.device_index:
+            # one-shot path: ephemeral device-built index (no host SBWT
+            # construction; sorts the sequence's window keys on device)
+            from kbo_tpu.api import build_device
+
+            builder = build_device
+        else:
+            builder = build
         if args.detailed:
             targets = [
-                (name, build([seq], _build_opts(args)), len(seq))
+                (name, builder([seq], _build_opts(args)), len(seq))
                 for name, seq in ref_records
             ]
         else:
             targets = [
                 (
                     ref_file,
-                    build([s for _, s in ref_records], _build_opts(args)),
+                    builder([s for _, s in ref_records], _build_opts(args)),
                     sum(len(s) for _, s in ref_records),
                 )
             ]
@@ -270,6 +278,12 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--detailed", action="store_true")
     sp.add_argument("-i", "--index", help="prebuilt index prefix (.kbo.npz or .sbwt)")
     sp.add_argument("-o", "--output", help="write TSV to this file (enables --resume)")
+    sp.add_argument(
+        "--device-index",
+        action="store_true",
+        help="build an ephemeral device index (fast one-shot runs; "
+        "skips host SBWT construction)",
+    )
     sp.add_argument(
         "--resume",
         action="store_true",

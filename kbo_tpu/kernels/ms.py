@@ -642,3 +642,70 @@ def query_ms_values_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
     buf, L = make_flat_buffer(np.asarray(codes), dev.k)
     ms = _ms2_jit(dev.keys2, dev.dummy2, dev.dummy_v, jnp.asarray(buf), dev.k)
     return np.asarray(ms[dev.k - 1 : dev.k - 1 + L], dtype=np.int64)
+
+
+# ------------------------------------------------- device-built seq index
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _seq_keys3_jit(buf, k):
+    """Sorted 3-bit window keys of a sequence buffer + distinct full-k-mer
+    count. The 'index' is the sequence's own window keys (pad chunk 5, see
+    ms3_batch_vs_seq_core) -- sorted here so queries can use the Pallas
+    merge; duplicates stay (they don't change nearest-neighbor values)."""
+    words = pack_windows_3bit(buf, k, pad_chunk=5)
+    # full windows: no pad chunk anywhere == every chunk < 5; checking the
+    # top chunk of each word is not enough, so test all words for a 5/7
+    # chunk via per-chunk comparison: a window is full iff its 2-bit limit
+    # would be k -- recompute cheaply from codes
+    valid = (buf >= 1) & (buf <= 4)
+    idx = jnp.arange(buf.shape[0], dtype=jnp.int32)
+    last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
+    full = ((idx - last_bad) >= k).astype(jnp.int32)
+    ops = _radix_sort(list(words) + [full], w3_for_k(k))
+    sw, sfull = ops[: w3_for_k(k)], ops[w3_for_k(k)]
+    neq = jnp.zeros(buf.shape[0], dtype=bool)
+    for w in range(w3_for_k(k)):
+        prev = jnp.concatenate([sw[w][:1] ^ jnp.uint32(1), sw[w][:-1]])
+        neq = neq | (sw[w] != prev)
+    n_kmers = jnp.sum((neq & (sfull == 1)).astype(jnp.int32))
+    return tuple(sw) + (n_kmers,)
+
+
+class DeviceSeqIndex:
+    """An ephemeral, device-built find index: the sequence's sorted 3-bit
+    window keys. No host SBWT construction -- suitable for one-shot
+    ``find`` runs where building the full index dominates wall time.
+    Supports the MS value path only (find/matches); map/call refinement
+    needs the full :class:`SbwtIndex`.
+    """
+
+    def __init__(self, seqs: list[bytes], k: int, add_revcomp: bool = False):
+        from kbo_tpu.index.encode import encode_ascii, revcomp_ascii
+
+        parts = []
+        for s in seqs:
+            s = bytes(s)
+            parts.append(encode_ascii(s))
+            parts.append(np.array([INVALID], dtype=np.uint8))
+            if add_revcomp:
+                parts.append(encode_ascii(revcomp_ascii(s)))
+                parts.append(np.array([INVALID], dtype=np.uint8))
+        codes = np.concatenate(parts[:-1])
+        buf, _ = make_flat_buffer(codes, k)
+        out = _seq_keys3_jit(jnp.asarray(buf), k)
+        self.ref_words = list(out[:-1])
+        self.n_kmers = int(out[-1])
+        self.k = k
+
+
+def ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k: int):
+    """Per-position MS of a [Q, L] batch against sorted sequence keys."""
+    Q, L = codes.shape
+    pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+    buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
+    q_words = pack_windows_3bit(buf, k, pad_chunk=7)
+    meta = jnp.arange(buf.shape[0], dtype=jnp.int32)
+    c = _neighbor_common(list(ref_words), q_words, meta, _common3)
+    ms = jnp.minimum(c, jnp.int32(k))
+    return ms.reshape(Q, L + k - 1)[:, k - 1 :]

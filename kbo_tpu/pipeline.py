@@ -111,3 +111,33 @@ def matches_batch(
 ) -> list[np.ndarray]:
     """Translated alignment chars (uint8 arrays) for a batch of queries."""
     return matches_ms_batch(index, code_list, threshold)[0]
+
+
+def matches_batch_seq(
+    dev_index, code_list: list[np.ndarray], threshold: int
+) -> list[np.ndarray]:
+    """Batched translated alignment chars against a device-built
+    :class:`kbo_tpu.kernels.ms.DeviceSeqIndex` (index-free find path)."""
+    from kbo_tpu.kernels.ms import ms3_values_vs_sorted_seq_core
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(ref_words, codes, lengths, k, threshold):
+        ms = ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k)
+        derand = jax.vmap(
+            lambda m, n: derandomize_core(m, k, threshold, n)
+        )(ms, lengths)
+        chars = jax.vmap(
+            lambda d, n: translate_core(d, k, threshold, n)
+        )(derand, lengths)
+        return chars
+
+    codes, lengths = pad_batch(code_list, bucket=True)
+    chars = run(
+        tuple(dev_index.ref_words),
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        dev_index.k,
+        jnp.int32(threshold),
+    )
+    chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
+    return [chars[i, : c.size] for i, c in enumerate(code_list)]

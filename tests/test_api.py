@@ -221,3 +221,33 @@ def test_map_randomized_differential_vs_oracle():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert bytes.fromhex(out.stdout.strip()) == got
+
+
+def test_device_seq_index_find_parity():
+    """Index-free find (device-built sorted sequence keys) matches find
+    against the full host-built index, including n_kmers/threshold."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, FindOpts, build
+    from kbo_tpu.api import build_device, find_batch
+
+    rng = np.random.default_rng(41)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bytearray(bases[rng.integers(0, 4, 4000)].tobytes())
+    ref[1500] = ord("N")  # multi-segment
+    ref = bytes(ref)
+    queries = [
+        ref[0:900],
+        ref[1600:2400],
+        bases[rng.integers(0, 4, 500)].tobytes(),
+        (ref[100:400] + b"TTTT" + ref[500:800]),
+    ]
+
+    host_idx = build([ref], BuildOpts(k=31))
+    dev_idx = build_device([ref], BuildOpts(k=31))
+    assert dev_idx.n_kmers == host_idx.n_kmers
+
+    opts = FindOpts(max_gap_len=3)
+    assert find_batch(queries, dev_idx, opts) == find_batch(
+        queries, host_idx, opts
+    )
