@@ -183,9 +183,22 @@ def map_(
 ) -> bytes:
     """Map a query (as an index) onto reference coordinates
     (reference: src/lib.rs:720-761). Role inversion: the QUERY is indexed and
-    the REFERENCE sequence is streamed through it."""
+    the REFERENCE sequence is streamed through it.
+
+    Tiny inputs run the host-oracle pipeline; everything else delegates to
+    :func:`map_batch` (fused device sweep, sparse refinement).
+    """
+    import os
+
     opts = map_opts or MapOpts()
     ref_seq = bytes(ref_seq)
+    host = (
+        os.environ.get("KBO_TPU_BACKEND", "auto") == "host"
+        or len(ref_seq) < 256
+    )
+    if not host:
+        return map_batch([ref_seq], query_sbwt, opts)[0]
+
     k = query_sbwt.k
     if opts.call_variants:
         assert k == opts.sbwt_build_opts.k

@@ -208,6 +208,21 @@ def fill_gaps(
             q += 1
         gaps.append((int(p0), int(q)))
         p = q
+    # one batched interval fetch for every gap's search window up front --
+    # a lazy per-gap fetch costs one device round trip per gap (~30ms each
+    # through a remote relay; hundreds of gaps at genome scale)
+    if hasattr(ivals, "prefetch") and gaps:
+        wanted: list[int] = []
+        for start_index, run_end in gaps:
+            end_index = min(run_end, n - threshold)
+            gap_len = end_index - start_index
+            overlap_without_extend = gap_len + 2 * threshold <= k
+            search_radius = k - (threshold if overlap_without_extend else 0)
+            search_start = min(end_index + search_radius, len(ref_seq) - 1)
+            search_end = end_index + threshold
+            wanted.extend(range(search_end, search_start + 1))
+        ivals.prefetch(wanted)
+
     for start_index, run_end in gaps:
         end_index = min(run_end, n - threshold)
         gap_len = end_index - start_index
