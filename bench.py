@@ -55,7 +55,12 @@ def main():
     from kbo_tpu import BuildOpts, build
     from kbo_tpu.engine import device_index
     from kbo_tpu.index.encode import encode_ascii
-    from kbo_tpu.kernels.ms import INVALID, make_flat_buffer, ms2_core, ms2_windows_core
+    from kbo_tpu.kernels.ms import (
+        INVALID,
+        intervals3_windows_core,
+        make_flat_buffer,
+        ms2_core,
+    )
     from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
     from kbo_tpu.ops.derandomize import random_match_threshold
 
@@ -99,18 +104,19 @@ def main():
         _ = int(tiny(jnp.arange(128)))
     rtt = (time.time() - t0) / 5
 
-    def run_find(keys2, dummy2, dummy_v, buf, true_len, threshold):
-        ms = ms2_core(keys2, dummy2, dummy_v, buf, k)
+    def run_find(keys2, cap2, buf, true_len, threshold):
+        ms = ms2_core(keys2, cap2, buf, k)
         derand = derandomize_core(ms, k, threshold, true_len + (k - 1))
         chars = translate_core(derand, k, threshold, true_len + (k - 1))
         return jnp.sum(chars.astype(jnp.int32)) + jnp.sum(ms), chars
 
-    def run_map(keys2, dummy2, dummy_v, buf, windows, true_len, threshold):
+    def run_map(keys2, cap2, keys3, buf, windows, win_ms, true_len, threshold):
         # the restructured map path: full-length value sweep + sparse
-        # interval pass at the variant/gap candidate windows
-        cs_find, chars = run_find(keys2, dummy2, dummy_v, buf, true_len, threshold)
-        ms_w, l, r = ms2_windows_core(keys2, dummy2, dummy_v, windows, k)
-        return cs_find + jnp.sum(ms_w) + jnp.sum(l) + jnp.sum(r), chars
+        # interval-rank pass at the variant/gap candidate windows (MS values
+        # at the windows come from the sweep, never recomputed)
+        cs_find, chars = run_find(keys2, cap2, buf, true_len, threshold)
+        l, r = intervals3_windows_core(keys3, windows, win_ms, k)
+        return cs_find + jnp.sum(l) + jnp.sum(r), chars
 
     map_fn = jax.jit(run_map)
     find_fn = jax.jit(run_find)
@@ -129,10 +135,13 @@ def main():
     Pb = 64
     while Pb < windows_np.shape[0]:
         Pb <<= 1
+    win_ms_np = np.zeros(Pb, dtype=np.int32)
+    win_ms_np[: cand.size] = ms_host[cand]
     windows_np = np.concatenate(
         [windows_np, np.full((Pb - windows_np.shape[0], k), INVALID, np.uint8)]
     )
     windows = jax.device_put(jnp.asarray(windows_np))
+    win_ms = jax.device_put(jnp.asarray(win_ms_np))
 
     def timeit(fn, args):
         t0 = time.time()
@@ -146,9 +155,9 @@ def main():
         return compile_s, max(dt, 1e-9), cs
 
     map_args = (
-        dev.keys2, dev.dummy2, dev.dummy_v, buf, windows, Lj, thr
+        dev.keys2, dev.cap2, dev.keys3, buf, windows, win_ms, Lj, thr
     )
-    find_args = (dev.keys2, dev.dummy2, dev.dummy_v, buf, Lj, thr)
+    find_args = (dev.keys2, dev.cap2, buf, Lj, thr)
     map_compile, map_s, _ = timeit(map_fn, map_args)
     find_compile, find_s, _ = timeit(find_fn, find_args)
     map_bps = n / map_s
@@ -167,15 +176,15 @@ def main():
 
     codes_b, lengths_b = pad_batch([_enc(bytes(q)) for q in q_list])
 
-    def run_batch(keys2, dummy2, dummy_v, codes, lengths, threshold):
+    def run_batch(keys2, cap2, codes, lengths, threshold):
         chars, ms = matches_pipeline_core(
-            keys2, dummy2, dummy_v, codes, lengths, k, threshold
+            keys2, cap2, codes, lengths, k, threshold
         )
         return jnp.sum(chars.astype(jnp.int32)) + jnp.sum(ms), chars
 
     batch_fn = jax.jit(run_batch)
     batch_args = (
-        dev.keys2, dev.dummy2, dev.dummy_v,
+        dev.keys2, dev.cap2,
         jnp.asarray(codes_b), jnp.asarray(lengths_b), thr,
     )
     batch_compile, batch_s, _ = timeit(batch_fn, batch_args)

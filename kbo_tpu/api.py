@@ -214,7 +214,7 @@ def map_(
     if opts.fill_gaps:
         # colex intervals are only read inside each gap's search window, so
         # hand fill_gaps a lazy provider instead of a full interval pass
-        ivals = engine.SparseIntervals(query_sbwt, ref_codes)
+        ivals = engine.SparseIntervals(query_sbwt, ref_codes, ms=noisy_ms)
         refined = gap_filling.fill_gaps(
             translation, noisy_ms, ivals, ref_seq, query_sbwt, threshold,
             opts.max_error_prob,
@@ -271,7 +271,7 @@ def map_batch(
         ref_seq = bytes(ref_seq)
         translation = [chr(c) for c in chars]
         if opts.fill_gaps:
-            ivals = engine.SparseIntervals(query_sbwt, ref_codes)
+            ivals = engine.SparseIntervals(query_sbwt, ref_codes, ms=noisy_ms)
             refined = gap_filling.fill_gaps(
                 translation, noisy_ms, ivals, ref_seq, query_sbwt,
                 threshold, opts.max_error_prob,

@@ -90,20 +90,26 @@ def compute_ms_values_many(index: SbwtIndex, code_list: list[np.ndarray]):
     Q, L = codes.shape
     buf = _make_buf(jnp.asarray(codes), dev.k)
     ms = _flat_ms_to_batch(
-        _ms2_jit(dev.keys2, dev.dummy2, dev.dummy_v, buf, dev.k), Q, L, dev.k
+        _ms2_jit(dev.keys2, dev.cap2, buf, dev.k), Q, L, dev.k
     )
     ms = np.asarray(ms, dtype=np.int64)
     return [ms[i, : c.size] for i, c in enumerate(code_list)]
 
 
 def compute_ms_intervals_at(
-    index: SbwtIndex, codes: np.ndarray, positions: np.ndarray
+    index: SbwtIndex,
+    codes: np.ndarray,
+    positions: np.ndarray,
+    ms: np.ndarray | None = None,
 ):
     """MS values + colex intervals at a sparse set of query positions.
 
     The refinement layers (gap filling, variant calling) only read intervals
     at data-dependent candidate positions; this avoids materializing the
     full-length interval pass (SURVEY §7.3 two-phase sparse refinement).
+    ``ms`` is the full-length MS value vector from the main sweep; when
+    given, the device pass only counts interval ranks (floor/ceil probes
+    against the 3-bit all-rows keys) and never recomputes MS.
     Returns (ms int64 [P], intervals int64 [P, 2]) in `positions` order.
     """
     codes = np.asarray(codes)
@@ -114,15 +120,20 @@ def compute_ms_intervals_at(
     ):
         from kbo_tpu.ops.ms import query_ms_codes
 
-        ms, iv = query_ms_codes(index, codes)
-        return ms[positions], iv[positions]
+        ms_full, iv = query_ms_codes(index, codes)
+        return ms_full[positions], iv[positions]
 
     import jax.numpy as jnp
 
-    from kbo_tpu.kernels.ms import INVALID, _ms2_windows_jit
+    from kbo_tpu.kernels.ms import INVALID, _intervals3_windows_jit
 
     dev = device_index(index)
     k = dev.k
+    if ms is None:
+        from kbo_tpu.kernels.ms import query_ms_values_device
+
+        ms = query_ms_values_device(dev, codes)
+    ms_at = np.asarray(ms, dtype=np.int64)[positions]
     # window matrix on host (host-side gathers are cheap)
     padded = np.full(codes.size + k - 1, INVALID, dtype=np.uint8)
     padded[k - 1 :] = codes
@@ -136,15 +147,16 @@ def compute_ms_intervals_at(
         windows = np.concatenate(
             [windows, np.full((Pb - P, k), INVALID, dtype=np.uint8)]
         )
-    ms, l, r = _ms2_windows_jit(
-        dev.keys2, dev.dummy2, dev.dummy_v, jnp.asarray(windows), k
+    ms_dev = np.zeros(Pb, dtype=np.int32)
+    ms_dev[:P] = ms_at
+    l, r = _intervals3_windows_jit(
+        dev.keys3, jnp.asarray(windows), jnp.asarray(ms_dev), k
     )
-    ms = np.asarray(ms[:P], dtype=np.int64)
     iv = np.stack(
         [np.asarray(l[:P], dtype=np.int64), np.asarray(r[:P], dtype=np.int64)],
         axis=1,
     )
-    return ms, iv
+    return ms_at, iv
 
 
 class SparseIntervals:
@@ -156,9 +168,12 @@ class SparseIntervals:
     prefetch call); reading an unfetched position raises.
     """
 
-    def __init__(self, index: SbwtIndex, codes: np.ndarray):
+    def __init__(
+        self, index: SbwtIndex, codes: np.ndarray, ms: np.ndarray | None = None
+    ):
         self._index = index
         self._codes = np.asarray(codes)
+        self._ms = None if ms is None else np.asarray(ms)
         self._cache: dict[int, tuple[int, int]] = {}
 
     def __len__(self) -> int:
@@ -171,7 +186,9 @@ class SparseIntervals:
         )
         if positions.size == 0:
             return
-        _, iv = compute_ms_intervals_at(self._index, self._codes, positions)
+        _, iv = compute_ms_intervals_at(
+            self._index, self._codes, positions, ms=self._ms
+        )
         for p, (l, r) in zip(positions.tolist(), iv.tolist()):
             self._cache[p] = (l, r)
 

@@ -147,6 +147,7 @@ def build_index_from_segments(
     w3 = [w[sel] for w in w3]
     w2 = [w[order][sel] for w in w2]
     v = v[order][sel]
+    row_pos = pos[order][sel]
     n = w3[0].size
 
     # LCS: common suffix of colex-adjacent rows == common packed chunks
@@ -211,7 +212,37 @@ def build_index_from_segments(
     cum[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
     assert cum.max(initial=0) < 2**31
 
+    # 2-bit join table: ALL rows (real + dummy) sorted by 2-bit key with
+    # per-row caps. Real rows are already 2-bit-sorted (for '$'-free
+    # strings the 3-bit colex order IS the 2-bit order); dummies merge in.
     real = v == k
+    w2r = [w[real] for w in w2]
+    w2d = [w[~real] for w in w2]
+    vd = v[~real]
+    W2 = len(w2)
+    if w2d[0].size == 0:
+        keys2 = np.stack(w2r)
+        cap2 = np.full(n, k, dtype=np.int32)
+    elif W2 <= 2:
+        # exact u64 proxy of the full key for k <= 32; tie placement among
+        # equal keys is irrelevant to the clamped-LCP scan
+        lo_r = w2r[1] if W2 == 2 else np.zeros_like(w2r[0])
+        lo_d = w2d[1] if W2 == 2 else np.zeros_like(w2d[0])
+        proxy_r = (w2r[0].astype(np.uint64) << np.uint64(32)) | lo_r
+        proxy_d = (w2d[0].astype(np.uint64) << np.uint64(32)) | lo_d
+        dorder = np.argsort(proxy_d, kind="stable")
+        ins = np.searchsorted(proxy_r, proxy_d[dorder])
+        keys2 = np.stack(
+            [np.insert(w2r[w], ins, w2d[w][dorder]) for w in range(W2)]
+        )
+        cap2 = np.insert(
+            np.full(w2r[0].size, k, dtype=np.int32), ins, vd[dorder]
+        )
+    else:
+        order2 = _lexsort_words(w2, num_threads)
+        keys2 = np.stack([w[order2] for w in w2])
+        cap2 = v[order2].astype(np.int32)
+
     return SbwtIndex(
         k=k,
         n_rows=n,
@@ -220,10 +251,11 @@ def build_index_from_segments(
         cum=cum.astype(np.int32),
         C=C,
         lcs=lcs,
-        keys2=np.stack([w[real] for w in w2]),
+        keys2=keys2,
+        cap2=cap2,
         keys3=np.stack(w3),
-        dummy2=np.stack([w[~real] for w in w2]),
-        dummy_v=v[~real],
+        row_pos=row_pos.astype(np.int64),
+        text=buf,
     )
 
 

@@ -47,15 +47,24 @@ class SbwtIndex:
     C: np.ndarray
     #: uint8 [n_rows]; longest common suffix with previous row
     lcs: np.ndarray
-    #: uint32 [W2, n_kmers]; colex-packed 2-bit keys of the real (ACGT) rows
-    #: for the sort-join MS engine (see kbo_tpu.kernels.ms)
+    #: uint32 [W2, n_rows]; 2-bit keys of ALL rows ('$' packs as chunk 3),
+    #: sorted by 2-bit key, for the sort-join MS engine (kbo_tpu.kernels.ms)
     keys2: Optional[np.ndarray] = None
+    #: int32 [n_rows]; per-row match cap aligned with keys2: k for real
+    #: k-mer rows, the real-suffix length v for '$'-padded dummy rows
+    cap2: Optional[np.ndarray] = None
     #: uint32 [W3, n_rows]; colex-packed 3-bit keys of all rows ('$'=0)
     keys3: Optional[np.ndarray] = None
-    #: uint32 [W2, n_dummies]; 2-bit keys of the dummy ($-padded) rows
-    dummy2: Optional[np.ndarray] = None
-    #: int32 [n_dummies]; real-suffix length of each dummy row
-    dummy_v: Optional[np.ndarray] = None
+    #: int64 [n_rows]; text position of each colex row's window END (keys3
+    #: order). Any one occurrence; rows are distinct strings so the k-mer
+    #: text read from any occurrence is identical.
+    row_pos: Optional[np.ndarray] = None
+    #: uint8 [T]; the packed construction buffer: k '$' (0) codes before
+    #: each maximal ACGT segment, then the segment's codes (1..4). Rows are
+    #: exactly the distinct k-windows of this buffer, so k-mer extraction
+    #: is a slice -- the TPU-native replacement for the reference's
+    #: select-walk ``access_kmer`` (src/variant_calling.rs:276)
+    text: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------ meta
     @property
@@ -124,10 +133,14 @@ class SbwtIndex:
     def access_kmer_codes(self, row: int) -> np.ndarray:
         """Reconstruct the k-length code string of a colex row.
 
-        Walks k backward (select) steps. Mirrors ``SbwtIndex::access_kmer`` /
-        ``push_kmer_to_vec`` (reference: src/variant_calling.rs:276,
-        src/gap_filling.rs:144,594).
+        Text-slice fast path when the packed text is present (every row is
+        a k-window of ``text``); otherwise k backward select-walk steps.
+        Mirrors ``SbwtIndex::access_kmer`` / ``push_kmer_to_vec``
+        (reference: src/variant_calling.rs:276, src/gap_filling.rs:144,594).
         """
+        if self.text is not None:
+            p = int(self.row_pos[int(row)])
+            return np.asarray(self.text[p - self.k + 1 : p + 1])
         out = np.zeros(self.k, dtype=np.uint8)
         cur = int(row)
         for j in range(self.k - 1, -1, -1):
@@ -145,11 +158,15 @@ class SbwtIndex:
     def access_kmers_codes(self, rows: np.ndarray) -> np.ndarray:
         """Vectorized :meth:`access_kmer_codes` over a batch of rows.
 
-        k backward steps, each a vectorized (searchsorted + in-word binary
-        select) over all lanes. Used by the batched variant caller where one
-        extraction per candidate site is needed (SURVEY §7.3).
+        With text: one fancy-indexed slice. Without: k backward steps, each
+        a vectorized (searchsorted + in-word binary select) over all lanes.
+        Used by the batched variant caller and gap filler (SURVEY §7.3).
         """
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if self.text is not None:
+            p = np.asarray(self.row_pos, dtype=np.int64)[rows]
+            offs = np.arange(-self.k + 1, 1, dtype=np.int64)
+            return np.asarray(self.text)[p[:, None] + offs[None, :]]
         n = rows.size
         out = np.zeros((n, self.k), dtype=np.uint8)
         cur = rows.copy()

@@ -29,7 +29,7 @@ import numpy as np
 
 from kbo_tpu.index.sbwt import SbwtIndex
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_index(prefix: str, index: SbwtIndex) -> str:
@@ -47,9 +47,10 @@ def save_index(prefix: str, index: SbwtIndex) -> str:
         C=index.C,
         lcs=index.lcs,
         keys2=index.keys2,
+        cap2=index.cap2,
         keys3=index.keys3,
-        dummy2=index.dummy2,
-        dummy_v=index.dummy_v,
+        row_pos=index.row_pos,
+        text=index.text,
     )
     return path
 
@@ -70,9 +71,10 @@ def load_index(prefix: str) -> SbwtIndex:
             C=data["C"],
             lcs=data["lcs"],
             keys2=data["keys2"],
+            cap2=data["cap2"],
             keys3=data["keys3"],
-            dummy2=data["dummy2"],
-            dummy_v=data["dummy_v"],
+            row_pos=data["row_pos"],
+            text=data["text"],
         )
 
 
@@ -94,9 +96,10 @@ def serialize_sbwt(prefix: str, index: SbwtIndex) -> tuple[str, str]:
         cum=index.cum,
         C=index.C,
         keys2=index.keys2,
+        cap2=index.cap2,
         keys3=index.keys3,
-        dummy2=index.dummy2,
-        dummy_v=index.dummy_v,
+        row_pos=index.row_pos,
+        text=index.text,
     )
     with open(sbwt_path, "wb") as fh:
         # u64-LE length prefix + variant name, as the reference writes it
@@ -133,7 +136,8 @@ def load_sbwt(prefix: str) -> SbwtIndex:
         C=data["C"],
         lcs=lcs,
         keys2=data["keys2"],
+        cap2=data["cap2"],
         keys3=data["keys3"],
-        dummy2=data["dummy2"],
-        dummy_v=data["dummy_v"],
+        row_pos=data["row_pos"],
+        text=data["text"],
     )

@@ -7,42 +7,35 @@ FM/SBWT walk -- are pathological on TPU (XLA serializes gathers), so the
 engine never gathers. Instead it exploits that the SBWT row set is exactly
 the set of k-windows of the indexed text:
 
-    MS[i] = the longest common *colex prefix* between the query window
-            ending at i (packed as an integer key, last char most
-            significant) and its nearest neighbors in the colex-sorted
-            reference key array.
+    MS[i] = best over index rows s of min(lcp(window_i, s), cap_s)
 
-That turns MS into: pack window keys -> one big sort of [ref keys, query
-keys] -> nearest-reference propagation (log-depth doubling scans) ->
-XOR/count-leading-zeros for the common-prefix length -> sort back by
-position. Sorts and elementwise ops only; this is what TPUs are fast at.
+where lcp is the common *colex prefix* (packed-integer common prefix, last
+char most significant) and cap_s is k for real k-mer rows and the real
+suffix length v for '$'-padded dummy rows. That turns MS into: pack window
+keys -> sort the query keys -> merge with the presorted reference keys
+(Pallas bitonic merge) -> one clamped-LCP scan per direction (Pallas,
+kernels/pallas_join.py) -> sort back by position. Sorts and elementwise
+ops only; no gathers; dummy rows cost nothing extra (they are ordinary
+rows with small caps -- the round-1 engine's O(#dummies * #queries) dummy
+pass is gone, so fragmented multi-contig references do not degrade).
 
 Two key spaces:
 
-- **2-bit keys** (16 chars/word, real ACGT rows only): the value-only hot
-  path (``find``/``matches``). Query windows are capped by ``limit[i]`` =
-  length of the valid-char run ending at i (capped at k), which makes
-  arbitrary chunk values at invalid/pre-start positions harmless: if the
-  integer common prefix reaches ``limit`` the true match IS ``limit``; below
-  it every compared chunk is a real char. Matches against the index's
-  $-padded dummy rows are added by a separate small pass over the D dummy
-  rows (D ~ k per input segment): exact per-dummy ``min(common, v_dummy)``.
+- **2-bit keys** (16 chars/word): the value hot path (``find``/``matches``/
+  the map sweep). Dummy rows pack '$' as chunk 3; the per-row cap makes
+  any padding exact (a capped lcp can never credit pad chunks). Query
+  windows are capped by ``limit[i]`` = length of the valid-char run ending
+  at i (capped at k).
 
-- **3-bit keys** (10 chars/word, all rows, '$'=0 < A..T=1..4, query
-  invalid/pad=7 never matches): true colex integer order including dummies.
-  Used by the full-interval reference path (query_ms_device) and by the
-  index-free vs-seq join (``call()``, pad chunk 5). Colex intervals for the
-  refinement layers come from the sparse 2-bit windows path
-  (ms2_windows_core): *floor* (pattern + 'A'-fill) and *ceil* (pattern +
-  'T'-fill) probes counted against the real rows plus an exact dummy-row
-  rank adjustment.
+- **3-bit keys** (10 chars/word, '$'=0 < A..T=1..4, query pads=7, raw-
+  sequence pads=5): true colex order including dummies. Used for colex
+  intervals (floor/ceil probes counted against all rows -- no dummy rank
+  adjustment needed) and the index-free vs-seq join (``call()``).
 
-Multi-word keys sort by LSD radix: W stable single-key ``lax.sort`` passes
-(one compiled sort reused per pass; a direct ``num_keys=W`` sort measured
-minutes of XLA:TPU compile time vs seconds for sort1). On TPU the combine
-against presorted reference keys is the Pallas bitonic merge and the
-nearest-reference propagation is the Pallas streaming kernel
-(kernels/pallas_sort.py, kernels/pallas_join.py).
+Multi-word keys sort by LSD radix passes of stable single-key ``lax.sort``;
+with x64 enabled (kbo_tpu enables it at import) word pairs pack into
+uint64 keys, halving the passes (measured 9.8ms -> 5.3ms for the 2-word
+sort at 2.36M rows on one v5e).
 
 Golden vector to verify: query vs 18-base ref gives MS
 [1,2,2,3,2,2,3,2,1,2,3,1,1,1,2,3,1,2] (reference: src/index.rs:238-240).
@@ -142,48 +135,100 @@ def _doubling_cummax(x):
     return x
 
 
-def _propagate_nearest(vals, seen, reverse: bool):
-    """Per slot, the `vals` of the nearest flagged slot at-or-before it
-    (at-or-after if reverse). Returns (vals, found)."""
-    N = seen.shape[0]
+_IDA = 2**31 - 1
+_IDB = -(2**31 - 1)
+
+
+def _clamp_scan_jnp(ell, cap, reverse: bool):
+    """Inclusive compose scan of clamp transforms x -> max(min(x, ell), cap).
+
+    ell[i] is the edge entering slot i from the scan side; cap[i] = -1 at
+    non-source slots. With scan seed -1 the output equals the composed B
+    component. Log-depth doubling (see pallas_join.clamp_scan for the
+    streaming TPU version and the algebra).
+    """
+    M = ell.shape[0]
+    A, B = ell, cap
     s = 1
-    while s < N:
+    while s < M:
         if reverse:
-            sh = lambda a, f: jnp.concatenate(
-                [a[s:], jnp.full((s,), f, a.dtype)]
-            )
+            Ao = jnp.concatenate([A[s:], jnp.full((s,), _IDA, jnp.int32)])
+            Bo = jnp.concatenate([B[s:], jnp.full((s,), _IDB, jnp.int32)])
         else:
-            sh = lambda a, f: jnp.concatenate(
-                [jnp.full((s,), f, a.dtype), a[:-s]]
-            )
-        seen_sh = sh(seen, False)
-        vals = [jnp.where(seen, v, sh(v, 0)) for v in vals]
-        seen = seen | seen_sh
+            Ao = jnp.concatenate([jnp.full((s,), _IDA, jnp.int32), A[:-s]])
+            Bo = jnp.concatenate([jnp.full((s,), _IDB, jnp.int32), B[:-s]])
+        A, B = (
+            jnp.minimum(Ao, A),
+            jnp.maximum(jnp.minimum(Bo, A), B),
+        )
         s <<= 1
-    return vals, seen
+    return B
 
 
 # ------------------------------------------------------------ sort-join
+
+
+def _x64() -> bool:
+    try:
+        return bool(jax.config.jax_enable_x64)
+    except AttributeError:  # pragma: no cover
+        return False
+
+
+def _pack_key_words(words):
+    """uint32 word list (most significant first) -> minimal key list.
+
+    With x64 on, adjacent word pairs pack into uint64 keys (half the sort
+    passes); otherwise the words themselves are the keys.
+    """
+    if not _x64():
+        return list(words), [1] * len(words)
+    keys, spans = [], []
+    i = 0
+    while i < len(words):
+        if i + 1 < len(words):
+            keys.append(
+                (words[i].astype(jnp.uint64) << 32)
+                | words[i + 1].astype(jnp.uint64)
+            )
+            spans.append(2)
+            i += 2
+        else:
+            keys.append(words[i])
+            spans.append(1)
+            i += 1
+    return keys, spans
+
+
+def _unpack_key_words(keys, spans):
+    words = []
+    for kk, sp in zip(keys, spans):
+        if sp == 2:
+            words.append((kk >> 32).astype(jnp.uint32))
+            words.append((kk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+        else:
+            words.append(kk)
+    return words
 
 
 def _radix_sort(arrays, n_key_words: int):
     """Stable LSD radix sort of parallel arrays by their first n_key_words
     uint32 word arrays (most significant first).
 
-    Measured alternatives (2M-base genome, one v5e chip), for the record:
-    a fused num_keys=W lax.sort halves the passes but its XLA:TPU
-    comparator compile time at multi-million-row shapes runs to many
-    minutes; a jnp bitonic MERGE against the presorted reference keys
-    (log-stage half-cleaner of reshape+select) compiled for minutes AND ran
-    ~4x slower than these passes -- the per-stage interleave forces full
-    relayouts. lax.sort1 runs at ~1.3 TB/s effective here, near HBM
-    bandwidth; beating it would take a Pallas merge kernel, not XLA ops."""
-    ops = list(arrays)
-    for w in range(n_key_words - 1, -1, -1):
-        rest = ops[:w] + ops[w + 1 :]
-        out = jax.lax.sort(tuple([ops[w]] + rest), num_keys=1, is_stable=True)
-        ops = list(out[1 : w + 1]) + [out[0]] + list(out[w + 1 :])
-    return ops
+    Each pass is one stable single-key ``lax.sort`` (a fused num_keys=W
+    sort measured minutes of XLA:TPU compile time; single-key passes run
+    at ~1.3 TB/s, near HBM bandwidth). With x64, word pairs become uint64
+    keys and the pass count halves.
+    """
+    keys, spans = _pack_key_words(list(arrays[:n_key_words]))
+    payloads = list(arrays[n_key_words:])
+    ops = keys + payloads
+    nk = len(keys)
+    for i in range(nk - 1, -1, -1):
+        rest = ops[:i] + ops[i + 1 :]
+        out = jax.lax.sort(tuple([ops[i]] + rest), num_keys=1, is_stable=True)
+        ops = list(out[1 : i + 1]) + [out[0]] + list(out[i + 1 :])
+    return _unpack_key_words(ops[:nk], spans) + ops[nk:]
 
 
 def _common2(a, b):
@@ -224,120 +269,98 @@ def _use_pallas_merge() -> bool:
         return False
 
 
-def _neighbor_common(ref_words, q_words, q_meta, common_fn, ref_sorted=True):
-    """Max common-prefix length of each query key with any reference key.
+def _edge_lcp(sw, common_fn, reverse: bool):
+    """Adjacent-slot common prefix entering each slot from the scan side."""
+    if reverse:
+        nb = [
+            jnp.concatenate([w[1:], w[-1:] ^ jnp.uint32(0xFFFFFFFF)])
+            for w in sw
+        ]
+    else:
+        nb = [
+            jnp.concatenate([w[:1] ^ jnp.uint32(0xFFFFFFFF), w[:-1]])
+            for w in sw
+        ]
+    return common_fn(sw, nb)
 
-    ref_words/q_words: lists of W uint32 arrays ([n] and [L]); q_meta:
-    int32 [L] identifiers (< 2**31 - 1). Returns int32 [L] in q order.
 
-    On TPU with a presorted reference, only the query side radix-sorts and
-    the combine is the Pallas bitonic merge (kernels/pallas_sort.py, ~20x
-    faster than re-sorting the concatenation); the rank component (ref 0 <
-    query 1) pins equal reference keys before the probe, reproducing the
-    stable-radix tie semantics.
+def _clamp_both(sw, cap, bits: int, common_fn):
+    """max of forward/backward clamped-LCP scans (>= 0)."""
+    if _use_pallas_merge() and sw[0].shape[0] % (1 << 16) == 0:
+        from kbo_tpu.kernels.pallas_join import clamp_scan
+
+        f = clamp_scan(sw, cap, bits, reverse=False)
+        b = clamp_scan(sw, cap, bits, reverse=True)
+    else:
+        f = _clamp_scan_jnp(_edge_lcp(sw, common_fn, False), cap, False)
+        b = _clamp_scan_jnp(_edge_lcp(sw, common_fn, True), cap, True)
+    return jnp.maximum(jnp.maximum(f, b), 0)
+
+
+def _neighbor_best(
+    ref_words, ref_cap, q_words, q_meta, common_fn, ref_sorted=True
+):
+    """Best min(lcp, cap) of each query key against the reference keys.
+
+    ref_words: list of W uint32 [n] (colex-sorted when ref_sorted);
+    ref_cap: int32 [n] per-row caps in chunk units (1..254);
+    q_words/q_meta: query keys and int32 identifiers (< 2**23).
+    Returns int32 [L] >= 0 in q_meta order.
+
+    Source identity and the back-sort ride ONE uint32 payload:
+    (slot24 << 8) | capbyte, with capbyte 0xFF marking query slots and
+    slot24 0xFFFFFF marking reference slots (sorts after every query in
+    the back-sort). The scan result overwrites the low byte before the
+    back-sort, so the whole value path is W+1 operands end to end.
     """
+    bits = 2 if common_fn is _common2 else 3
     W = len(ref_words)
     n = ref_words[0].shape[0]
     L = q_words[0].shape[0]
+    assert n + L < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    ref_packed = jnp.uint32(0xFFFFFF00) | ref_cap.astype(jnp.uint32)
+    q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
     if ref_sorted and _use_pallas_merge():
-        from kbo_tpu.kernels.pallas_join import nearest_common
         from kbo_tpu.kernels.pallas_sort import bitonic_merge
 
-        bits = 2 if common_fn is _common2 else 3
-        q_ops = _radix_sort(list(q_words) + [q_meta], W)
+        q_ops = _radix_sort(list(q_words) + [q_packed], W)
         merged = bitonic_merge(
-            list(ref_words)
-            + [
-                jnp.zeros(n, jnp.int32),
-                jnp.full((n,), _BIG, jnp.int32),
-            ],
-            q_ops[:W] + [jnp.ones(L, jnp.int32), q_ops[W]],
-            n_comps=W + 1,
-            slice_output=False,  # pads are rank +inf: never references
-        )
-        total = n + L
-        sw_p, srank_p = merged[:W], merged[W]
-        c_fwd = nearest_common(sw_p, srank_p, bits, reverse=False)
-        c_bwd = nearest_common(sw_p, srank_p, bits, reverse=True)
-        c = jnp.maximum(c_fwd, c_bwd)[:total]
-        smeta = merged[W + 1][:total]
-        if n + L < (1 << 24) - 1:
-            is_ref_s = srank_p[:total] == 0
-            slot = jnp.where(
-                is_ref_s, jnp.uint32(0xFFFFFF), smeta.astype(jnp.uint32)
-            )
-            packed = (slot << 8) | jnp.minimum(c, 255).astype(jnp.uint32)
-            back = jax.lax.sort((packed,), num_keys=1, is_stable=False)
-            return (back[0][:L] & 255).astype(jnp.int32)
-        back = jax.lax.sort((smeta, c), num_keys=1, is_stable=False)
-        return back[1][:L]
+            list(ref_words) + [ref_packed],
+            q_ops,
+            n_comps=W,
+            slice_output=False,  # pads carry packed 0xFFFFFFFF: non-source,
+        )  # sorted last in the back-sort
+        sw, spacked = merged[:W], merged[W]
     else:
-        words = [
-            jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)
-        ]
-        meta = jnp.concatenate([jnp.full((n,), _BIG, jnp.int32), q_meta])
-        ops = _radix_sort(words + [meta], W)
-        sw, smeta = ops[:W], ops[W]
-        is_ref = smeta == _BIG
-    pv, pok = _propagate_nearest(sw, is_ref, reverse=False)
-    nv, nok = _propagate_nearest(sw, is_ref, reverse=True)
-    c_prev = jnp.where(pok, common_fn(sw, pv), 0)
-    c_next = jnp.where(nok, common_fn(sw, nv), 0)
-    c = jnp.maximum(c_prev, c_next)
-    if n + L < (1 << 24) - 1:
-        # back sort on ONE operand: c <= 260 < 256 after capping (exact
-        # for all k <= 255 since ms is min(c, k) downstream) packs into the
-        # slot id's low byte, halving the back-sort traffic; ref slots pack
-        # to the uint32 top so they sort last
-        slot = jnp.where(is_ref, jnp.uint32(0xFFFFFF), smeta.astype(jnp.uint32))
-        packed = (slot << 8) | jnp.minimum(c, 255).astype(jnp.uint32)
-        back = jax.lax.sort((packed,), num_keys=1, is_stable=False)
-        return (back[0][:L] & 255).astype(jnp.int32)
-    back = jax.lax.sort((smeta, c), num_keys=1, is_stable=False)
-    return back[1][:L]
+        sw = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
+        spacked = jnp.concatenate([ref_packed, q_packed])
+        ops = _radix_sort(sw + [spacked], W)
+        sw, spacked = ops[:W], ops[W]
+    capbyte = spacked & jnp.uint32(0xFF)
+    cap = jnp.where(capbyte == 0xFF, jnp.int32(-1), capbyte.astype(jnp.int32))
+    c = _clamp_both(sw, cap, bits, common_fn)
+    out_packed = (spacked & jnp.uint32(0xFFFFFF00)) | jnp.minimum(
+        c, 255
+    ).astype(jnp.uint32)
+    back = jax.lax.sort((out_packed,), num_keys=1, is_stable=False)
+    return (back[0][:L] & 255).astype(jnp.int32)
 
 
-def _dummy_ms(q_words, limit, dummy2, dummy_v):
-    """Best min(common-2bit-prefix, v) against the dummy rows; [L] int32."""
-    D = dummy_v.shape[0]
-    L = q_words[0].shape[0]
-    if D == 0:
-        return jnp.zeros(L, dtype=jnp.int32)
-    W = len(q_words)
-    stacked = jnp.stack(dummy2, axis=1)  # [D, W] after transpose of [W, D]
-
-    def body(best, dw):
-        d_words, v = dw
-        c = _common2(q_words, [jnp.broadcast_to(d_words[w], (L,)) for w in range(W)])
-        return jnp.maximum(best, jnp.minimum(c, v)), None
-
-    # derive the init from a varying input so the carry stays axis-varying
-    # under shard_map's per-shard type checking
-    best0 = (q_words[0] * 0).astype(jnp.int32)
-    best, _ = jax.lax.scan(
-        body,
-        best0,
-        (stacked, dummy_v.astype(jnp.int32)),
-    )
-    return jnp.minimum(best, limit)
-
-
-def ms2_core(keys2, dummy2, dummy_v, buf, k: int):
+def ms2_core(keys2, cap2, buf, k: int):
     """Value-only MS for every position of a flat code buffer (2-bit join).
 
-    keys2: uint32 [W2, n_kmers]; dummy2: uint32 [W2, D]; dummy_v: int32 [D];
-    buf: uint8 [T] with k-1 leading pad entries per query segment. Returns
-    ms int32 [T] (entries at pad positions are garbage).
+    keys2: uint32 [W2, n_rows] 2-bit keys of ALL rows (real + dummy),
+    sorted by 2-bit key; cap2: int32 [n_rows] per-row caps (k for real
+    rows, the real-suffix length v for dummies); buf: uint8 [T] with k-1
+    leading pad entries per query segment. Returns ms int32 [T] (entries
+    at pad positions are garbage).
     """
     q_words, limit = pack_windows_2bit(buf, k)
     T = buf.shape[0]
     meta = jnp.arange(T, dtype=jnp.int32)
     ref_words = [keys2[w] for w in range(keys2.shape[0])]
-    c = _neighbor_common(ref_words, q_words, meta, _common2)
-    ms = jnp.minimum(c, limit)
-    d2 = [dummy2[w] for w in range(dummy2.shape[0])]
-    ms = jnp.maximum(ms, _dummy_ms(q_words, limit, d2, dummy_v))
-    return ms
+    c = _neighbor_best(ref_words, cap2, q_words, meta, _common2)
+    return jnp.minimum(c, limit)
 
 
 def ms3_core(keys3, buf, k: int):
@@ -346,13 +369,16 @@ def ms3_core(keys3, buf, k: int):
     T = buf.shape[0]
     meta = jnp.arange(T, dtype=jnp.int32)
     ref_words = [keys3[w] for w in range(keys3.shape[0])]
-    c = _neighbor_common(ref_words, q_words, meta, _common3)
+    cap = jnp.full(keys3.shape[1], k, dtype=jnp.int32)
+    c = _neighbor_best(ref_words, cap, q_words, meta, _common3)
     return jnp.minimum(c, jnp.int32(k))
 
 
 def _intervals_from_keys(keys3, q_words, ms):
     """Colex intervals [l, r) of the length-ms prefixes of the given 3-bit
-    query keys. ms == 0 yields the empty-pattern interval [0, n_rows)."""
+    query keys, counted over ALL rows (dummies included -- the 3-bit key
+    space is the true colex order, so no dummy rank adjustment exists).
+    ms == 0 yields the empty-pattern interval [0, n_rows)."""
     W = len(q_words)
     P = q_words[0].shape[0]
     n = keys3.shape[1]
@@ -363,17 +389,39 @@ def _intervals_from_keys(keys3, q_words, ms):
         ones = (jnp.uint32(1) << low_bits) - 1
         floors.append(q_words[w] & ~ones)
         ceils.append(floors[w] | ones)
-    # stable order [floor, ceil, ref]: a floor probe sorts before equal
-    # reference keys (they belong to its interval); a ceil probe can never
-    # equal a reference key (it contains chunk value 7)
-    words = [
-        jnp.concatenate([floors[w], ceils[w], keys3[w]]) for w in range(W)
-    ]
+    # stable order [floor, ref, ceil]: a floor probe sorts before equal
+    # reference keys (they belong to its interval); a ceil probe contains
+    # chunk 7 unless ms == k, where the rank component places it after the
+    # row equal to the full pattern
     idx = jnp.arange(P, dtype=jnp.int32)
-    meta = jnp.concatenate([idx, idx + P, jnp.full((n,), _BIG, jnp.int32)])
-    ops = _radix_sort(words + [meta], W)
-    smeta = ops[W]
-    is_ref = (smeta == _BIG).astype(jnp.int32)
+    pw = [jnp.concatenate([floors[w], ceils[w]]) for w in range(W)]
+    prank = jnp.concatenate(
+        [jnp.zeros(P, jnp.int32), jnp.full((P,), 2, jnp.int32)]
+    )
+    pmeta = jnp.concatenate([idx, idx + P])
+    if _use_pallas_merge():
+        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+        # stable LSD keeps floors before equal-keyed ceils, so the probe
+        # side is sorted by (keys, rank) as the merge comparator requires
+        p_ops = _radix_sort(pw + [prank, pmeta], W)
+        merged = bitonic_merge(
+            [keys3[w] for w in range(W)]
+            + [jnp.ones(n, jnp.int32), jnp.full((n,), _BIG, jnp.int32)],
+            p_ops,
+            n_comps=W + 1,
+        )
+        smeta = merged[W + 1]
+        is_ref = (merged[W] == 1).astype(jnp.int32)
+    else:
+        words = [
+            jnp.concatenate([pw[w], keys3[w]]) for w in range(W)
+        ]
+        rank = jnp.concatenate([prank, jnp.ones(n, jnp.int32)])
+        meta = jnp.concatenate([pmeta, jnp.full((n,), _BIG, jnp.int32)])
+        ops = _radix_sort(words + [rank, meta], W + 1)
+        smeta = ops[W + 1]
+        is_ref = (ops[W] == 1).astype(jnp.int32)
     before = jnp.cumsum(is_ref) - is_ref  # refs strictly before each slot
     back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
     vals = back[1]
@@ -385,18 +433,38 @@ def intervals3_core(keys3, buf, ms, k: int):
     return _intervals_from_keys(keys3, pack_windows_3bit(buf, k), ms)
 
 
+def intervals3_windows_core(keys3, windows, ms, k: int):
+    """Full-row colex intervals for a [P, k] window matrix given its MS
+    values (from the value sweep -- never recomputed here).
+
+    The sparse interval path: the refinement layers (gap filling, variant
+    calling) only ever read intervals at data-dependent candidate
+    positions (SURVEY §7.3 two-phase sparse refinement).
+    """
+    P, k_ = windows.shape
+    buf = windows.reshape(-1)
+    words_all = pack_windows_3bit(buf, k, pad_chunk=7)
+    q_words = [w.reshape(P, k)[:, k - 1] for w in words_all]
+    return _intervals_from_keys(keys3, q_words, ms.astype(jnp.int32))
+
+
+_intervals3_windows_jit = jax.jit(
+    intervals3_windows_core, static_argnames=("k",)
+)
+
+
 def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
     """Per-position MS of a [Q, L] probe batch against a raw sequence.
 
     The "index" side is the sequence's OWN window keys -- every position of
     ref_buf, 3-bit packed with pad chunk 5, no sorting/dedup/host
     construction (duplicates and $-padded partial windows don't change
-    nearest-neighbor common-prefix values, and chunk 5 reproduces '$'
-    boundary semantics exactly: it never matches a probe's real chars 1..4
-    nor the probe-side pad 7). This powers the reference's
-    build-an-index-inside-call() pattern (src/lib.rs:553) on device: the
-    variant caller's per-candidate k-mer MS re-runs join directly against
-    the reference sequence. Returns ms int32 [Q, L].
+    best-match values, and chunk 5 reproduces '$' boundary semantics
+    exactly: it never matches a probe's real chars 1..4 nor the probe-side
+    pad 7). This powers the reference's build-an-index-inside-call()
+    pattern (src/lib.rs:553) on device: the variant caller's per-candidate
+    k-mer MS re-runs join directly against the reference sequence.
+    Returns ms int32 [Q, L].
     """
     ref_words = pack_windows_3bit(ref_buf, k, pad_chunk=5)
     Q, L = q_codes.shape
@@ -404,9 +472,10 @@ def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
     qbuf = jnp.concatenate([pad, q_codes], axis=1).reshape(-1)
     q_words = pack_windows_3bit(qbuf, k, pad_chunk=7)
     meta = jnp.arange(qbuf.shape[0], dtype=jnp.int32)
+    cap = jnp.full(ref_buf.shape[0], k, dtype=jnp.int32)
     # the sequence-side keys are NOT presorted here, so the concat radix
     # path is required (no merge shortcut)
-    c = _neighbor_common(ref_words, q_words, meta, _common3, ref_sorted=False)
+    c = _neighbor_best(ref_words, cap, q_words, meta, _common3, ref_sorted=False)
     ms = jnp.minimum(c, jnp.int32(k))
     return ms.reshape(Q, L + k - 1)[:, k - 1 :]
 
@@ -418,8 +487,8 @@ _ms3_batch_vs_seq_jit = jax.jit(ms3_batch_vs_seq_core, static_argnames=("k",))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _ms2_jit(keys2, dummy2, dummy_v, buf, k):
-    return ms2_core(keys2, dummy2, dummy_v, buf, k)
+def _ms2_jit(keys2, cap2, buf, k):
+    return ms2_core(keys2, cap2, buf, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -429,156 +498,6 @@ def _ms3_iv_jit(keys3, buf, k):
     return ms, l, r
 
 
-def _chunk2_at(words, t):
-    """2-bit chunk value at (traced) chunk index t of a 2-bit key list."""
-    out = jnp.zeros(t.shape, dtype=jnp.uint32)
-    for w in range(len(words)):
-        sel = (t >= w * 16) & (t < (w + 1) * 16)
-        sh = (jnp.uint32(30) - 2 * (t.astype(jnp.uint32) - w * 16) % 32)
-        out = jnp.where(sel, (words[w] >> sh) & 3, out)
-    return out
-
-
-def _intervals2_from_keys(keys2, q_words, ms):
-    """Interval [l, r) among the REAL rows of the length-ms prefixes of the
-    given 2-bit query keys (floor = pattern + 'A'-fill sorts before equal
-    rows; ceil = pattern + 'T'-fill sorts after, with stability order
-    [floor, ref, ceil])."""
-    W = len(q_words)
-    P = q_words[0].shape[0]
-    n = keys2.shape[1]
-    floors, ceils = [], []
-    for w in range(W):
-        keep = jnp.clip(ms - w * 16, 0, 16).astype(jnp.uint32)
-        lb = jnp.minimum(jnp.uint32(32) - 2 * keep, jnp.uint32(31))
-        ones = jnp.where(
-            keep == 0,
-            jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << lb) - 1,
-        )
-        floors.append(q_words[w] & ~ones)
-        ceils.append(floors[w] | ones)
-    idx = jnp.arange(P, dtype=jnp.int32)
-    if _use_pallas_merge():
-        from kbo_tpu.kernels.pallas_sort import bitonic_merge
-
-        pw = [jnp.concatenate([floors[w], ceils[w]]) for w in range(W)]
-        prank = jnp.concatenate(
-            [jnp.zeros(P, jnp.int32), jnp.full((P,), 2, jnp.int32)]
-        )
-        pmeta = jnp.concatenate([idx, idx + P])
-        # stable LSD keeps floors before equal-keyed ceils, so the probe
-        # side is sorted by (keys, rank) as the merge comparator requires;
-        # rank 1 places reference rows between floor and ceil on key ties
-        p_ops = _radix_sort(pw + [prank, pmeta], W)
-        merged = bitonic_merge(
-            [keys2[w] for w in range(W)]
-            + [jnp.ones(n, jnp.int32), jnp.full((n,), _BIG, jnp.int32)],
-            p_ops,
-            n_comps=W + 1,
-        )
-        smeta = merged[W + 1]
-        is_ref = (merged[W] == 1).astype(jnp.int32)
-    else:
-        words = [
-            jnp.concatenate([floors[w], keys2[w], ceils[w]])
-            for w in range(W)
-        ]
-        meta = jnp.concatenate(
-            [idx, jnp.full((n,), _BIG, jnp.int32), idx + P]
-        )
-        ops = _radix_sort(words + [meta], W)
-        smeta = ops[W]
-        is_ref = (smeta == _BIG).astype(jnp.int32)
-    before = jnp.cumsum(is_ref) - is_ref
-    back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
-    vals = back[1]
-    return vals[:P], vals[P : 2 * P]
-
-
-def _interval_dummy_adjust(q_words, ms, dummy2, dummy_v):
-    """Counts converting real-row interval ranks to full-row ranks.
-
-    Returns (l_add, r_add): the number of dummy rows colex-before each
-    probe's pattern floor, and before its interval end, in TRUE colex
-    order ('$' smallest). Exact per-dummy comparison: find the first true
-    difference position (capping the raw 2-bit common prefix by the
-    dummy's real-suffix length v and the pattern length ms) and compare
-    there; a dummy sharing the whole pattern lies inside the interval.
-    """
-    D = dummy_v.shape[0]
-    P = q_words[0].shape[0]
-    zeros = jnp.zeros(P, dtype=jnp.int32)
-    if D == 0:
-        return zeros, zeros
-    W = len(q_words)
-    stacked = jnp.stack(dummy2, axis=1)  # [D, W]
-
-    def body(carry, dw):
-        l_add, r_add = carry
-        d_words, v = dw
-        db = [jnp.broadcast_to(d_words[w], (P,)) for w in range(W)]
-        c2 = _common2(q_words, db)
-        tfd = jnp.minimum(jnp.minimum(c2, v), ms)
-        inside = tfd == ms
-        exhausted = ~inside & (tfd == v)
-        dc = _chunk2_at(db, tfd)
-        qc = _chunk2_at(q_words, tfd)
-        by_chunk = ~inside & ~exhausted & (dc < qc)
-        less = (exhausted | by_chunk).astype(jnp.int32)
-        return (l_add + less, r_add + less + inside.astype(jnp.int32)), None
-
-    (l_add, r_add), _ = jax.lax.scan(
-        body, (zeros + (q_words[0][0] * 0).astype(jnp.int32),
-               zeros + (q_words[0][0] * 0).astype(jnp.int32)),
-        (stacked, dummy_v.astype(jnp.int32)),
-    )
-    return l_add, r_add
-
-
-def ms2_windows_core(keys2, dummy2, dummy_v, windows, k: int):
-    """MS + full-row colex intervals for a [P, k] window matrix (2-bit join).
-
-    The sparse interval path: the refinement layers (gap filling, variant
-    calling) only ever read intervals at data-dependent candidate
-    positions, so the full-length interval pass is never materialized
-    (SURVEY §7.3 two-phase sparse refinement). Interval ranks among real
-    rows come from a floor/ceil counting pass over the 2-bit keys; dummy
-    rows are folded in by the exact per-dummy comparison scan.
-    """
-    P = windows.shape[0]
-    buf = windows.reshape(-1)
-    c = ((buf.astype(jnp.uint32) - 1) & 3)
-    all_words = []
-    for w in range(w2_for_k(k)):
-        acc = jnp.zeros(buf.shape[0], dtype=jnp.uint32)
-        for j in range(16):
-            t = w * 16 + j
-            if t >= k:
-                break
-            acc = acc | (_shift_up_const(c, t, 0) << (30 - 2 * j))
-        all_words.append(acc)
-    q_words = [w.reshape(P, k)[:, k - 1] for w in all_words]
-    # per-row validity: length of the valid run ending at the row's end
-    valid = ((windows >= 1) & (windows <= 4))[:, ::-1].astype(jnp.int32)
-    limit = jnp.minimum(jnp.sum(jnp.cumprod(valid, axis=1), axis=1), k)
-
-    meta = jnp.arange(P, dtype=jnp.int32)
-    ref_words = [keys2[w] for w in range(keys2.shape[0])]
-    ms = jnp.minimum(_neighbor_common(ref_words, q_words, meta, _common2), limit)
-    d2 = [dummy2[w] for w in range(dummy2.shape[0])]
-    ms = jnp.maximum(ms, _dummy_ms(q_words, limit, d2, dummy_v))
-
-    l_real, r_real = _intervals2_from_keys(keys2, q_words, ms)
-    l_add, r_add = _interval_dummy_adjust(q_words, ms, d2, dummy_v)
-    return ms, l_real + l_add, r_real + r_add
-
-
-_ms2_windows_jit = jax.jit(ms2_windows_core, static_argnames=("k",))
-
-
-
-
 class DeviceIndex:
     """An SbwtIndex's sort-join key tables resident on a device."""
 
@@ -586,9 +505,8 @@ class DeviceIndex:
         assert index.keys2 is not None, "index built without join keys"
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         self.keys2 = put(np.ascontiguousarray(index.keys2))
+        self.cap2 = put(np.ascontiguousarray(index.cap2))
         self.keys3 = put(np.ascontiguousarray(index.keys3))
-        self.dummy2 = put(np.ascontiguousarray(index.dummy2))
-        self.dummy_v = put(np.ascontiguousarray(index.dummy_v))
         self.n_rows = int(index.n_rows)
         self.n_kmers = int(index.n_kmers)
         self.k = int(index.k)
@@ -640,7 +558,7 @@ def query_ms_values_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
     """MS values only for one encoded query (fast 2-bit join)."""
     dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
     buf, L = make_flat_buffer(np.asarray(codes), dev.k)
-    ms = _ms2_jit(dev.keys2, dev.dummy2, dev.dummy_v, jnp.asarray(buf), dev.k)
+    ms = _ms2_jit(dev.keys2, dev.cap2, jnp.asarray(buf), dev.k)
     return np.asarray(ms[dev.k - 1 : dev.k - 1 + L], dtype=np.int64)
 
 
@@ -652,12 +570,10 @@ def _seq_keys3_jit(buf, k):
     """Sorted 3-bit window keys of a sequence buffer + distinct full-k-mer
     count. The 'index' is the sequence's own window keys (pad chunk 5, see
     ms3_batch_vs_seq_core) -- sorted here so queries can use the Pallas
-    merge; duplicates stay (they don't change nearest-neighbor values)."""
+    merge; duplicates stay (they don't change best-match values)."""
     words = pack_windows_3bit(buf, k, pad_chunk=5)
-    # full windows: no pad chunk anywhere == every chunk < 5; checking the
-    # top chunk of each word is not enough, so test all words for a 5/7
-    # chunk via per-chunk comparison: a window is full iff its 2-bit limit
-    # would be k -- recompute cheaply from codes
+    # full windows: recompute validity from codes (a window is full iff its
+    # valid run reaches k)
     valid = (buf >= 1) & (buf <= 4)
     idx = jnp.arange(buf.shape[0], dtype=jnp.int32)
     last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
@@ -706,6 +622,7 @@ def ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k: int):
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
     q_words = pack_windows_3bit(buf, k, pad_chunk=7)
     meta = jnp.arange(buf.shape[0], dtype=jnp.int32)
-    c = _neighbor_common(list(ref_words), q_words, meta, _common3)
+    cap = jnp.full(ref_words[0].shape[0], k, dtype=jnp.int32)
+    c = _neighbor_best(list(ref_words), cap, q_words, meta, _common3)
     ms = jnp.minimum(c, jnp.int32(k))
     return ms.reshape(Q, L + k - 1)[:, k - 1 :]

@@ -69,7 +69,7 @@ def _shift_from_right(x, s: int, axis: int, fill):
     """y[.., i, ..] = x[.., i + s, ..]; positions hanging past the end get
     `fill` (no wraparound)."""
     size = x.shape[axis]
-    rolled = pltpu.roll(x, (-s) % size, axis=axis)
+    rolled = pltpu.roll(x, jnp.int32((-s) % size), axis=axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     return jnp.where(idx < size - s, rolled, fill)
 
@@ -185,13 +185,13 @@ def _translate_kernel(len_ref, d_ref, dnext_ref, out_ref, carry_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
 
     # prev[i] = d[i-1] with the block edge coming from the carry
-    lane_prev = pltpu.roll(d, 1, axis=1)
-    row_prev = pltpu.roll(lane_prev, 1, axis=0)
+    lane_prev = pltpu.roll(d, jnp.int32(1), axis=1)
+    row_prev = pltpu.roll(lane_prev, jnp.int32(1), axis=0)
     prev_d = jnp.where(col == 0, row_prev, lane_prev)
     prev_d = jnp.where((col == 0) & (row == 0), carry_ref[1], prev_d)
     # nxt[i] = d[i+1]; the block's last element reads the next block's first
-    lane_next = pltpu.roll(d, _LANES - 1, axis=1)
-    row_next = pltpu.roll(lane_next, R - 1, axis=0)
+    lane_next = pltpu.roll(d, jnp.int32(_LANES - 1), axis=1)
+    row_next = pltpu.roll(lane_next, jnp.int32(R - 1), axis=0)
     nxt_d = jnp.where(col == _LANES - 1, row_next, lane_next)
     nxt_d = jnp.where(
         (col == _LANES - 1) & (row == R - 1), dnext_ref[0, 0], nxt_d
@@ -202,8 +202,8 @@ def _translate_kernel(len_ref, d_ref, dnext_ref, out_ref, carry_ref):
 
     rr = (d > t) & (nxt_d > 0) & (nxt_d < t) & (idx < true_len - 1)
     # A[p] = rr at p-1, valid in (1, true_len-1)
-    lane_rp = pltpu.roll(rr.astype(jnp.int32), 1, axis=1)
-    row_rp = pltpu.roll(lane_rp, 1, axis=0)
+    lane_rp = pltpu.roll(rr.astype(jnp.int32), jnp.int32(1), axis=1)
+    row_rp = pltpu.roll(lane_rp, jnp.int32(1), axis=0)
     rr_prev = jnp.where(col == 0, row_rp, lane_rp)
     rr_prev = jnp.where((col == 0) & (row == 0), carry_ref[2], rr_prev)
     A = (idx > 1) & (idx < true_len - 1) & (rr_prev == 1)
@@ -214,13 +214,13 @@ def _translate_kernel(len_ref, d_ref, dnext_ref, out_ref, carry_ref):
     x = masked
     s = 1
     while s < _LANES:
-        rolled = pltpu.roll(x, s, axis=1)
+        rolled = pltpu.roll(x, jnp.int32(s), axis=1)
         x = jnp.maximum(x, jnp.where(col >= s, rolled, jnp.int32(-1)))
         s <<= 1
     summ = x[:, _LANES - 1 :]  # [R, 1] row maxima
     s = 1
     while s < R:
-        rolled = pltpu.roll(summ, s, axis=0)
+        rolled = pltpu.roll(summ, jnp.int32(s), axis=0)
         summ = jnp.maximum(
             summ,
             jnp.where(
@@ -230,7 +230,7 @@ def _translate_kernel(len_ref, d_ref, dnext_ref, out_ref, carry_ref):
             ),
         )
         s <<= 1
-    excl_rows = pltpu.roll(summ, 1, axis=0)
+    excl_rows = pltpu.roll(summ, jnp.int32(1), axis=0)
     excl_rows = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, summ.shape, 0) >= 1,
         excl_rows,
@@ -281,12 +281,12 @@ def fused_postprocess_core(ms, k, threshold, true_len, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (R, _LANES),
-                lambda j: (nb - 1 - j, 0),
+                lambda j: (nb - 1 - j, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (R, _LANES), lambda j: (nb - 1 - j, 0), memory_space=pltpu.VMEM
+            (R, _LANES), lambda j: (nb - 1 - j, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((L // _LANES, _LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
@@ -300,17 +300,17 @@ def fused_postprocess_core(ms, k, threshold, true_len, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (R, _LANES), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (R, _LANES), lambda j: (j, jnp.int32(0)), memory_space=pltpu.VMEM
             ),
             # the next block (clamped): supplies d[block_end + 1]
             pl.BlockSpec(
                 (R, _LANES),
-                lambda j: (jnp.minimum(j + 1, nb - 1), 0),
+                lambda j: (jnp.minimum(j + 1, nb - 1), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (R, _LANES), lambda j: (j, 0), memory_space=pltpu.VMEM
+            (R, _LANES), lambda j: (j, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((L // _LANES, _LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],

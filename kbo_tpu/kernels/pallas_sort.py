@@ -77,8 +77,14 @@ def _block_stages_kernel(n_comps, n_ops, *refs):
     while s >= _LANES:
         sr = s // _LANES
         is_lo = (row & sr) == 0
-        partner = [pltpu.roll(o, _R - sr, axis=0) for o in ops]  # x[i+s] at lo
-        partner_up = [pltpu.roll(o, sr, axis=0) for o in ops]  # x[i-s] at hi
+        # int32 shift operands: tpu.dynamic_rotate rejects i64 scalars,
+        # and Python ints weaken to i64 when jax_enable_x64 is on
+        partner = [
+            pltpu.roll(o, jnp.int32(_R - sr), axis=0) for o in ops
+        ]  # x[i+s] at lo
+        partner_up = [
+            pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops
+        ]  # x[i-s] at hi
         other = [
             jnp.where(is_lo, pdn, pup)
             for pdn, pup in zip(partner, partner_up)
@@ -91,8 +97,8 @@ def _block_stages_kernel(n_comps, n_ops, *refs):
         s >>= 1
     while s >= 1:
         is_lo = (col & s) == 0
-        partner = [pltpu.roll(o, _LANES - s, axis=1) for o in ops]
-        partner_up = [pltpu.roll(o, s, axis=1) for o in ops]
+        partner = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
+        partner_up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
         other = [
             jnp.where(is_lo, pdn, pup)
             for pdn, pup in zip(partner, partner_up)
@@ -123,7 +129,7 @@ def _run_cross_stage(ops, s, n_comps, interpret):
     views = [o.reshape(G, 2, S, _R, _LANES) for o in ops]
     spec = pl.BlockSpec(
         (1, 2, 1, _R_SUB, _LANES),
-        lambda g, t, rb: (g, 0, t, rb, 0),
+        lambda g, t, rb: (g, jnp.int32(0), t, rb, jnp.int32(0)),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -146,7 +152,7 @@ def _run_block_stages(ops, n_comps, interpret):
     nb = M // BLOCK
     views = [o.reshape(nb * _R, _LANES) for o in ops]
     spec = pl.BlockSpec(
-        (_R, _LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+        (_R, _LANES), lambda b: (b, jnp.int32(0)), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         lambda *refs: _block_stages_kernel(n_comps, n_ops, *refs),
@@ -217,13 +223,13 @@ def _block_roll_stage(ops, s, is_lo_fn, dirb, n_comps):
         sr = s // _LANES
         row = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 0)
         is_lo = (row & sr) == 0
-        down = [pltpu.roll(o, _R - sr, axis=0) for o in ops]
-        up = [pltpu.roll(o, sr, axis=0) for o in ops]
+        down = [pltpu.roll(o, jnp.int32(_R - sr), axis=0) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops]
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 1)
         is_lo = (col & s) == 0
-        down = [pltpu.roll(o, _LANES - s, axis=1) for o in ops]
-        up = [pltpu.roll(o, s, axis=1) for o in ops]
+        down = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
     other = [jnp.where(is_lo, d, u) for d, u in zip(down, up)]
     return _exchange(ops, other, is_lo, dirb, n_comps)
 
@@ -306,7 +312,7 @@ def _run_cross_stage_dir(ops, s, k_phase, n_comps, interpret):
     views = [o.reshape(G, 2, S, _R, _LANES) for o in ops]
     spec = pl.BlockSpec(
         (1, 2, 1, _R_SUB, _LANES),
-        lambda g, t, rb: (g, 0, t, rb, 0),
+        lambda g, t, rb: (g, jnp.int32(0), t, rb, jnp.int32(0)),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -325,7 +331,7 @@ def _run_block_kernel(kernel_fn, ops, interpret):
     n_ops = len(ops)
     nb = M // BLOCK
     views = [o.reshape(nb * _R, _LANES) for o in ops]
-    spec = pl.BlockSpec((_R, _LANES), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((_R, _LANES), lambda b: (b, jnp.int32(0)), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel_fn,
         grid=(nb,),

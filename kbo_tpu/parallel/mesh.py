@@ -38,20 +38,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_matches(
-    keys2, dummy2, dummy_v, codes, lengths, k: int, threshold, mesh
+    keys2, cap2, codes, lengths, k: int, threshold, mesh
 ):
     fn = jax.shard_map(
-        lambda k2, d2, dv, co, le, th: matches_pipeline_core(
-            k2, d2, dv, co, le, k, th
+        lambda k2, c2, co, le, th: matches_pipeline_core(
+            k2, c2, co, le, k, th
         ),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data"), P("data"), P()),
+        in_specs=(P(), P(), P("data"), P("data"), P()),
         out_specs=P("data"),
         # pallas_call out_shapes carry no varying-mesh-axes annotation;
         # per-shard computation is manifestly data-parallel here
         check_vma=False,
     )
-    return fn(keys2, dummy2, dummy_v, codes, lengths, threshold)
+    return fn(keys2, cap2, codes, lengths, threshold)
 
 
 def matches_batch_sharded(
@@ -80,8 +80,7 @@ def matches_batch_sharded(
     shard = NamedSharding(mesh, P("data"))
     chars, ms = _sharded_matches(
         jax.device_put(dev.keys2, repl),
-        jax.device_put(dev.dummy2, repl),
-        jax.device_put(dev.dummy_v, repl),
+        jax.device_put(dev.cap2, repl),
         jax.device_put(jnp.asarray(codes), shard),
         jax.device_put(jnp.asarray(lengths), shard),
         dev.k,
@@ -144,8 +143,7 @@ def matches_long_sharded(
     shard = NamedSharding(mesh, P("data"))
     chars, ms = _sharded_matches(
         jax.device_put(dev.keys2, repl),
-        jax.device_put(dev.dummy2, repl),
-        jax.device_put(dev.dummy_v, repl),
+        jax.device_put(dev.cap2, repl),
         jax.device_put(jnp.asarray(rows), shard),
         jax.device_put(jnp.asarray(lengths), shard),
         dev.k,

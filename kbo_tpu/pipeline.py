@@ -34,7 +34,7 @@ def _make_buf(codes, k: int):
 
 
 def matches_pipeline_core(
-    keys2, dummy2, dummy_v, codes, lengths, k: int, threshold
+    keys2, cap2, codes, lengths, k: int, threshold
 ):
     """codes: uint8 [Q, L] (tail-padded with INVALID); lengths: int32 [Q].
 
@@ -43,7 +43,7 @@ def matches_pipeline_core(
     """
     Q, L = codes.shape
     buf = _make_buf(codes, k)
-    ms = _flat_ms_to_batch(ms2_core(keys2, dummy2, dummy_v, buf, k), Q, L, k)
+    ms = _flat_ms_to_batch(ms2_core(keys2, cap2, buf, k), Q, L, k)
     derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
         ms, lengths
     )
@@ -91,8 +91,7 @@ def matches_ms_batch(
     codes, lengths = pad_batch(code_list, bucket=True)
     chars, ms = matches_pipeline(
         dev.keys2,
-        dev.dummy2,
-        dev.dummy_v,
+        dev.cap2,
         jnp.asarray(codes),
         jnp.asarray(lengths),
         dev.k,

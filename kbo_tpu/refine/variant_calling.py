@@ -162,7 +162,9 @@ def call_variants(
         (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
     )
     cand = cand[cand < n]
-    cand_ms, cand_iv = engine.compute_ms_intervals_at(sbwt_ref, codes, cand)
+    cand_ms, cand_iv = engine.compute_ms_intervals_at(
+        sbwt_ref, codes, cand, ms=ms
+    )
     good_c = (cand_ms >= d) & (cand_iv[:, 1] - cand_iv[:, 0] == 1)
     anchor = np.full(drops.size, -1, dtype=np.int64)
     for off in range(1, k + 1):
