@@ -35,6 +35,23 @@ if _os.environ.get("KBO_TPU_X64", "1") != "0":
     except ImportError:
         pass
 
+_cache_dir = _os.environ.get(
+    "KBO_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+if _cache_dir and _cache_dir != "0":
+    # Persistent XLA compile cache: first compiles through the remote TPU
+    # relay cost 20-40s per kernel shape; cached reruns are milliseconds.
+    # KBO_TPU_COMPILE_CACHE=<dir> overrides, =0 disables.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except ImportError:
+        pass
+
 if _os.environ.get("KBO_TPU_PLATFORM"):
     # Reliable platform override: this environment's sitecustomize registers
     # the remote axon TPU plugin and pins jax_platforms, so the JAX_PLATFORMS

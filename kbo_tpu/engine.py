@@ -201,6 +201,15 @@ class SparseIntervals:
             )
         return entry[int(col)]
 
+    def get_batch(self, positions) -> np.ndarray:
+        """[P, 2] interval array for `positions` (prefetching the misses)."""
+        positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
+        self.prefetch(positions)
+        out = np.empty((positions.size, 2), dtype=np.int64)
+        for i, p in enumerate(positions.tolist()):
+            out[i] = self._cache[p]
+        return out
+
 
 def compute_ms_values_vs_seq(
     ref_codes: np.ndarray, code_list: list[np.ndarray], k: int

@@ -1,15 +1,27 @@
-"""Gap filling using matching statistics and SBWT interval lookups.
+"""Gap filling: batched candidate evaluation over SBWT interval lookups.
 
-Mirrors the reference module (reference: src/gap_filling.rs):
+Semantics mirror the reference module (reference: src/gap_filling.rs:
+nearest_unique_context :127-151, left_extend_kmer :205-232,
+left_extend_over_gap :295-361, fill_gaps :444-526), but the execution
+model is phase-batched instead of per-gap sequential:
 
-- :func:`nearest_unique_context` (src/gap_filling.rs:127-151)
-- :func:`left_extend_kmer`       (src/gap_filling.rs:205-232)
-- :func:`left_extend_over_gap`   (src/gap_filling.rs:295-361)
-- :func:`fill_gaps`              (src/gap_filling.rs:444-526)
+1. enumerate every gap of the translation (vectorized run detection);
+2. ONE batched sparse-interval fetch covers every gap's search window
+   (a lazy per-gap fetch costs one device round trip per gap);
+3. every unique-context candidate of every gap is evaluated at once:
+   k-mer texts come from one fancy-indexed slice of the index text,
+   left/right reference-overlap run lengths are cumprod reductions over
+   [n_candidates, k] code matrices;
+4. candidates that need left extension run together through a
+   lane-batched SBWT search (vectorized word-rank probes, 4 characters
+   x all lanes per step) -- no per-character scalar rank loops;
+5. per gap, the accepted fill is the first successful candidate in
+   descending position order -- the same one the reference's sequential
+   scan would commit to, because candidate evaluations are independent.
 
-Gaps are sparse (one per unresolved region), so this host orchestration is
-off the hot path; k-mer extraction (`access_kmer`) and the candidate searches
-batch naturally on device when needed (SURVEY §7.3).
+The scalar helpers (`nearest_unique_context`, `left_extend_kmer`,
+`left_extend_over_gap`) remain as the public spec API over the batched
+core.
 """
 
 from __future__ import annotations
@@ -18,90 +30,201 @@ import math
 
 import numpy as np
 
-from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.index.encode import DOLLAR, decode_codes, encode_ascii
 from kbo_tpu.index.sbwt import SbwtIndex
 from kbo_tpu.ops.derandomize import log_rm_max_cdf
 from kbo_tpu.utils.stats import get_stats
 
+#: sentinel codes that can never equal a k-mer code (0..4)
+_OOB = np.uint8(250)
 
+
+# --------------------------------------------------------------- interval IO
+def _intervals_at(ivals, positions: np.ndarray) -> np.ndarray:
+    """[P, 2] colex intervals at reference positions, from either a
+    materialized [n, 2] array or a lazy provider (engine.SparseIntervals)."""
+    positions = np.asarray(positions, dtype=np.int64)
+    if hasattr(ivals, "get_batch"):
+        return ivals.get_batch(positions)
+    return np.asarray(ivals)[positions].reshape(positions.size, 2)
+
+
+# ------------------------------------------------------- batched SBWT search
+def _rank_batch(sbwt: SbwtIndex, base: int, pos: np.ndarray) -> np.ndarray:
+    """Vectorized rank: set bits of bitvector `base` in rows [0, pos)."""
+    pos = np.asarray(pos, dtype=np.int64)
+    nw = sbwt.n_words
+    w = pos >> 5
+    b = (pos & 31).astype(np.uint32)
+    over = w >= nw
+    wc = np.minimum(w, nw - 1)
+    word = sbwt.bits[base, wc]
+    mask = ((np.uint32(1) << b) - np.uint32(1)).astype(np.uint32)
+    part = np.bitwise_count(word & mask).astype(np.int64)
+    ranks = sbwt.cum[base, wc].astype(np.int64) + part
+    if over.any():
+        total = int(sbwt.cum[base, -1]) + int(
+            np.bitwise_count(sbwt.bits[base, -1])
+        )
+        ranks = np.where(over, total, ranks)
+    return ranks
+
+
+def search_codes_batch(
+    sbwt: SbwtIndex, codes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Colex intervals of many patterns at once (empty -> l == r).
+
+    codes: uint8 [E, L]. The lane-parallel form of ``SbwtIndex.search_codes``
+    (reference: src/gap_filling.rs:217): L extend steps, each a masked
+    vectorized rank per base over every live lane.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    E, L = codes.shape
+    l = np.zeros(E, dtype=np.int64)
+    r = np.full(E, sbwt.n_rows, dtype=np.int64)
+    C = np.asarray(sbwt.C, dtype=np.int64)
+    for t in range(L):
+        c = codes[:, t]
+        alive = l < r
+        l2 = np.zeros(E, dtype=np.int64)
+        r2 = np.zeros(E, dtype=np.int64)
+        for b in range(4):
+            m = alive & (c == b + 1)
+            if not m.any():
+                continue
+            l2[m] = C[b] + _rank_batch(sbwt, b, l[m])
+            r2[m] = C[b] + _rank_batch(sbwt, b, r[m])
+        l, r = l2, r2
+        if not (l < r).any():
+            break
+    return l, r
+
+
+def _left_extend_batch(
+    sbwt: SbwtIndex, kmers: np.ndarray, budgets: np.ndarray
+) -> list[np.ndarray]:
+    """Left-extend each lane's code k-mer while exactly one of the four
+    possible preceding characters yields a unique full-length hit
+    (reference: src/gap_filling.rs:205-232), up to the lane's budget.
+
+    kmers: uint8 [E, K0]; budgets: int64 [E]. Every probe keeps the
+    original pattern length K0 (prepend one char, drop the trailing char),
+    so the probed window slides left one step per round. Returns the
+    extended code arrays (length K0 + e_lane).
+    """
+    kmers = np.asarray(kmers, dtype=np.uint8)
+    E, K0 = kmers.shape
+    budgets = np.asarray(budgets, dtype=np.int64)
+    prefix = kmers[:, : K0 - 1].copy()  # current first K0-1 codes per lane
+    prepended: list[list[int]] = [[] for _ in range(E)]
+    active = budgets > 0
+    spent = np.zeros(E, dtype=np.int64)
+    while active.any():
+        lanes = np.flatnonzero(active)
+        P = prefix[lanes]
+        probes = np.empty((4, lanes.size, K0), dtype=np.uint8)
+        for b in range(4):
+            probes[b, :, 0] = b + 1
+            probes[b, :, 1:] = P
+        l, r = search_codes_batch(sbwt, probes.reshape(4 * lanes.size, K0))
+        nonempty = (r > l).reshape(4, lanes.size)
+        n_hits = nonempty.sum(axis=0)
+        choice = np.argmax(nonempty, axis=0)  # valid only where n_hits == 1
+        width = (r - l).reshape(4, lanes.size)[choice, np.arange(lanes.size)]
+        ok = (n_hits == 1) & (width == 1)
+        for i in np.flatnonzero(ok):
+            prepended[lanes[i]].append(int(choice[i]) + 1)
+        good = lanes[ok]
+        prefix[good, 1:] = prefix[good, :-1]
+        prefix[good, 0] = choice[ok] + 1
+        spent[good] += 1
+        active[:] = False
+        active[good] = spent[good] < budgets[good]
+    return [
+        np.concatenate(
+            [np.asarray(prepended[i][::-1], dtype=np.uint8), kmers[i]]
+        )
+        for i in range(E)
+    ]
+
+
+# ----------------------------------------------------- overlap run counting
 def count_right_overlaps(kmer: bytes, ref_seq: bytes, ref_match_end: int) -> int:
-    """Matches between the tail of `kmer` (excluding kmer[0]) and `ref_seq`
-    ending at `ref_match_end` (reference: src/gap_filling.rs:20-42)."""
+    """Length of the exact backward match between the tail of `kmer`
+    (never consuming kmer[0]) and `ref_seq` ending at `ref_match_end`
+    (reference: src/gap_filling.rs:20-42)."""
     assert len(kmer) > 0 and len(ref_seq) > 0
     assert len(ref_seq) >= ref_match_end
-    kmer_pos = len(kmer) - 1
-    ref_pos = ref_match_end - 1
-    matches = 0
-    while kmer_pos > 0:
-        if ref_pos < 0:
+    run = 0
+    for i in range(min(len(kmer) - 1, ref_match_end)):
+        if kmer[len(kmer) - 1 - i] != ref_seq[ref_match_end - 1 - i]:
             break
-        if ref_seq[ref_pos] == kmer[kmer_pos]:
-            matches += 1
-        else:
-            break
-        kmer_pos -= 1
-        ref_pos -= 1
-    return matches
+        run += 1
+    return run
 
 
 def count_left_overlaps(kmer: bytes, ref_seq: bytes, ref_match_start: int) -> int:
-    """Matches between the head of `kmer` and `ref_seq` starting at
-    `ref_match_start` (reference: src/gap_filling.rs:44-67)."""
+    """Length of the exact forward match between the head of `kmer` and
+    `ref_seq` starting at `ref_match_start`
+    (reference: src/gap_filling.rs:44-67)."""
     assert len(kmer) > 0 and len(ref_seq) > 0
     assert len(ref_seq) > ref_match_start
-    matches = 0
-    for kmer_pos in range(len(kmer)):
-        ref_pos = ref_match_start + kmer_pos
-        if ref_pos >= len(ref_seq):
+    run = 0
+    for i in range(min(len(kmer), len(ref_seq) - ref_match_start)):
+        if kmer[i] != ref_seq[ref_match_start + i]:
             break
-        if ref_seq[ref_pos] == kmer[kmer_pos]:
-            matches += 1
-        else:
-            break
-    return matches
+        run += 1
+    return run
 
 
+def _trailing_runs(eq: np.ndarray) -> np.ndarray:
+    """Per-row length of the trailing all-True run of a bool matrix."""
+    if eq.shape[1] == 0:
+        return np.zeros(eq.shape[0], dtype=np.int64)
+    return np.cumprod(eq[:, ::-1], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _leading_runs(eq: np.ndarray) -> np.ndarray:
+    """Per-row length of the leading all-True run of a bool matrix."""
+    if eq.shape[1] == 0:
+        return np.zeros(eq.shape[0], dtype=np.int64)
+    return np.cumprod(eq, axis=1).sum(axis=1).astype(np.int64)
+
+
+# ----------------------------------------------------------- the spec layer
 def nearest_unique_context(
-    ivals: np.ndarray, sbwt: SbwtIndex, search_start: int, search_end: int
+    ivals, sbwt: SbwtIndex, search_start: int, search_end: int
 ) -> tuple[int, bytes]:
-    """Rightmost position in [search_start, search_end] (inclusive) whose colex
-    interval has length 1, and the k-mer text at that row; (search_start - 1,
-    b"") if none (reference: src/gap_filling.rs:127-151, range end inclusive).
-    """
+    """Rightmost position in [search_start, search_end] (inclusive) whose
+    colex interval has exactly one row, plus that row's k-mer text;
+    (search_start - 1, b"") when none exists
+    (reference: src/gap_filling.rs:127-151)."""
     assert search_end >= search_start
     assert search_end < len(ivals)
-    kmer_idx = search_end
-    while kmer_idx >= search_start:
-        l, r = int(ivals[kmer_idx, 0]), int(ivals[kmer_idx, 1])
-        if r - l == 1:
-            return kmer_idx, sbwt.access_kmer(l)
-        kmer_idx -= 1
-    return kmer_idx, b""
+    positions = np.arange(search_start, search_end + 1, dtype=np.int64)
+    iv = _intervals_at(ivals, positions)
+    unique = np.flatnonzero(iv[:, 1] - iv[:, 0] == 1)
+    if unique.size == 0:
+        return search_start - 1, b""
+    top = unique[-1]
+    return int(positions[top]), sbwt.access_kmer(int(iv[top, 0]))
 
 
-def left_extend_kmer(kmer_start: bytes, sbwt: SbwtIndex, max_extension_len: int) -> bytes:
-    """Left-extend a k-mer while exactly one left extension has a unique
-    interval (reference: src/gap_filling.rs:205-232)."""
+def left_extend_kmer(
+    kmer_start: bytes, sbwt: SbwtIndex, max_extension_len: int
+) -> bytes:
+    """Left-extend one k-mer (reference: src/gap_filling.rs:205-232)."""
     assert len(kmer_start) > 0
-    kmer = bytes(kmer_start)
-    left_extension_len = 0
-    while left_extension_len < max_extension_len:
-        hits = []
-        for c in sbwt.alphabet():
-            new_kmer = bytes([c]) + kmer[: len(kmer) - (left_extension_len + 1)]
-            res = sbwt.search_codes(encode_ascii(new_kmer))
-            if res is not None:
-                hits.append((new_kmer, res))
-        if len(hits) == 1 and hits[0][1][1] - hits[0][1][0] == 1:
-            kmer = hits[0][0][:1] + kmer
-        else:
-            break
-        left_extension_len += 1
-    return kmer
+    codes = encode_ascii(bytes(kmer_start))[None, :]
+    out = _left_extend_batch(
+        sbwt, codes, np.asarray([max_extension_len], dtype=np.int64)
+    )[0]
+    return decode_codes(out)
 
 
 def left_extend_over_gap(
-    ivals: np.ndarray,
+    ivals,
     ref_seq: bytes,
     sbwt: SbwtIndex,
     left_overlap_req: int,
@@ -110,71 +233,228 @@ def left_extend_over_gap(
     gap_end: int,
     search_radius: int,
 ) -> bytes:
-    """Find (and if needed left-extend) a unique context k-mer spanning the gap
-    [gap_start, gap_end) (reference: src/gap_filling.rs:295-361)."""
+    """Unique-context k-mer spanning the gap [gap_start, gap_end), left-
+    extended when required (reference: src/gap_filling.rs:295-361)."""
     k = sbwt.k
     assert len(ivals) == len(ref_seq)
     assert left_overlap_req <= gap_start
     assert right_overlap_req <= len(ref_seq) - gap_end
     assert gap_end > gap_start
     assert gap_end < len(ivals)
+    gap = _GapTask(
+        gap_start=gap_start,
+        gap_end=gap_end,
+        left_req=left_overlap_req,
+        right_req=right_overlap_req,
+        search_lo=gap_end + right_overlap_req,
+        search_hi=min(gap_end + search_radius, len(ref_seq) - 1),
+    )
+    fills = _evaluate_gaps(
+        [gap], ivals, encode_ascii(bytes(ref_seq)), sbwt
+    )
+    return decode_codes(fills[0]) if fills[0] is not None else b""
 
-    search_start = min(gap_end + search_radius, len(ref_seq) - 1)
-    search_end = gap_end + right_overlap_req
 
-    if hasattr(ivals, "prefetch"):  # lazy sparse provider (engine.SparseIntervals)
-        ivals.prefetch(range(search_end, search_start + 1))
+# ------------------------------------------------------------ batched core
+class _GapTask:
+    __slots__ = (
+        "gap_start", "gap_end", "left_req", "right_req",
+        "search_lo", "search_hi",
+    )
 
-    kmer = b""
-    kmer_idx = search_start
-    while kmer_idx >= search_end:
-        kmer_idx, kmer = nearest_unique_context(ivals, sbwt, search_end, kmer_idx)
-        if kmer:
-            # right-overlap check: candidate k-mer tail vs reference
-            right_matches_want = search_start - (gap_end - 1) - (search_start - kmer_idx)
-            right_matches_got = count_right_overlaps(
-                kmer, ref_seq, gap_end + right_matches_want
-            )
-            ref_start_pos = gap_start - left_overlap_req if gap_start > left_overlap_req else 0
-            left_matches_got = count_left_overlaps(kmer, ref_seq, ref_start_pos)
-            # no point extending if the k-mer already overlaps the gap to the
-            # left but contains no matches
-            should_extend = len(kmer) < left_overlap_req + (gap_end - gap_start) + right_matches_got
+    def __init__(self, gap_start, gap_end, left_req, right_req,
+                 search_lo, search_hi):
+        self.gap_start = gap_start
+        self.gap_end = gap_end
+        self.left_req = left_req
+        self.right_req = right_req
+        self.search_lo = search_lo  # lowest candidate position (inclusive)
+        self.search_hi = search_hi  # highest candidate position (inclusive)
 
-            if right_matches_got >= min(right_matches_want, k) and left_matches_got >= left_overlap_req:
-                start = left_matches_got - left_overlap_req
-                end = len(kmer) - (right_matches_got - right_overlap_req)
-                return bytes(kmer[start:end])
-            elif (
-                should_extend
-                and right_matches_got >= min(right_matches_want, k)
-                and left_matches_got < left_overlap_req
-            ):
-                left_extend_length = (
-                    left_overlap_req + (gap_end - gap_start) + right_matches_got - k
-                )
-                kmer = left_extend_kmer(kmer, sbwt, left_extend_length)
-                lm = count_left_overlaps(kmer, ref_seq, ref_start_pos)
-                if lm >= left_overlap_req:
-                    start = lm - left_overlap_req
-                    end = len(kmer) - (right_matches_got - right_overlap_req)
-                    return bytes(kmer[start:end])
-            kmer = b""
-        kmer_idx -= 1
-    return kmer
+
+def _evaluate_gaps(
+    gaps: list[_GapTask],
+    ivals,
+    ref_codes: np.ndarray,
+    sbwt: SbwtIndex,
+) -> list[np.ndarray | None]:
+    """For every gap, the spanning k-mer (codes) committed by the
+    reference's descending candidate scan, or None.
+
+    Every unique-context candidate of every gap is scored in one
+    vectorized pass; left extensions run lane-batched. Per gap the first
+    success in descending position order wins -- identical to the
+    sequential scan because candidate evaluations have no side effects.
+    """
+    k = sbwt.k
+    n_ref = ref_codes.size
+    n_gaps = len(gaps)
+
+    # ---- phase A: one interval fetch over the union of search windows
+    pos_parts = [
+        np.arange(g.search_lo, g.search_hi + 1, dtype=np.int64)
+        for g in gaps
+        if g.search_hi >= g.search_lo
+    ]
+    if not pos_parts:
+        return [None] * n_gaps
+    all_pos = np.unique(np.concatenate(pos_parts))
+    iv = _intervals_at(ivals, all_pos)
+    uniq = iv[:, 1] - iv[:, 0] == 1
+
+    # ---- phase B: candidate table (gap id, position, row), descending pos
+    gidx_parts: list[np.ndarray] = []
+    pos_cand_parts: list[np.ndarray] = []
+    row_cand_parts: list[np.ndarray] = []
+    for gi, g in enumerate(gaps):
+        if g.search_hi < g.search_lo:
+            continue
+        lo = np.searchsorted(all_pos, g.search_lo)
+        hi = np.searchsorted(all_pos, g.search_hi, side="right")
+        sel = np.flatnonzero(uniq[lo:hi]) + lo
+        sel = sel[::-1]  # descending position = reference scan order
+        gidx_parts.append(np.full(sel.size, gi, dtype=np.int64))
+        pos_cand_parts.append(all_pos[sel])
+        row_cand_parts.append(iv[sel, 0])
+    if not gidx_parts:
+        return [None] * n_gaps
+    gidx = np.concatenate(gidx_parts)
+    jpos = np.concatenate(pos_cand_parts)
+    rows = np.concatenate(row_cand_parts)
+    C = gidx.size
+    if C == 0:
+        return [None] * n_gaps
+
+    gs = np.asarray([g.gap_start for g in gaps], dtype=np.int64)[gidx]
+    ge = np.asarray([g.gap_end for g in gaps], dtype=np.int64)[gidx]
+    lreq = np.asarray([g.left_req for g in gaps], dtype=np.int64)[gidx]
+    rreq = np.asarray([g.right_req for g in gaps], dtype=np.int64)[gidx]
+    gap_len = ge - gs
+
+    # ---- phase C: k-mer texts + vectorized overlap run lengths
+    kmers = sbwt.access_kmers_codes(rows).astype(np.uint8)  # [C, k]
+    padded = np.full(n_ref + 2 * k, _OOB, dtype=np.uint8)
+    padded[k : k + n_ref] = ref_codes
+
+    # backward match ending at the candidate position (kmer[0] never joins)
+    offs = np.arange(k, dtype=np.int64)[None, :]
+    right_win = padded[(jpos - (k - 1))[:, None] + offs + k]
+    rg = _trailing_runs((kmers == right_win)[:, 1:])
+    want = jpos - ge + 1
+
+    # forward match from the gap's left flank
+    rsp = np.where(gs > lreq, gs - lreq, 0)
+    left_win = padded[rsp[:, None] + offs + k]
+    lg = _leading_runs(kmers == left_win)
+
+    right_ok = rg >= np.minimum(want, k)
+    case_a = right_ok & (lg >= lreq)
+
+    # ---- phase D: lane-batched left extension for the remaining viable set
+    should_extend = k < lreq + gap_len + rg
+    case_b = should_extend & right_ok & (lg < lreq)
+    ext_ok = np.zeros(C, dtype=bool)
+    ext_lm = np.zeros(C, dtype=np.int64)
+    ext_kmers: dict[int, np.ndarray] = {}
+    lanes = np.flatnonzero(case_b)
+    if lanes.size:
+        budgets = (lreq + gap_len + rg - k)[lanes]
+        extended = _left_extend_batch(
+            sbwt, kmers[lanes], np.maximum(budgets, 0)
+        )
+        for lane, ext in zip(lanes.tolist(), extended):
+            L = ext.size
+            stop = min(L, n_ref - int(rsp[lane]))
+            seg = ref_codes[int(rsp[lane]) : int(rsp[lane]) + stop]
+            eq = ext[:stop] == seg
+            lm = int(_leading_runs(eq[None, :])[0])
+            ext_lm[lane] = lm
+            if lm >= lreq[lane]:
+                ext_ok[lane] = True
+                ext_kmers[lane] = ext
+
+    ok = case_a | ext_ok
+
+    # ---- phase E: first success per gap in descending position order
+    fills: list[np.ndarray | None] = [None] * n_gaps
+    win = np.flatnonzero(ok)
+    for c in win.tolist():
+        gi = int(gidx[c])
+        if fills[gi] is not None:
+            continue  # an earlier (higher-position) candidate already won
+        if case_a[c]:
+            start = int(lg[c] - lreq[c])
+            end = int(k - (rg[c] - rreq[c]))
+            fills[gi] = kmers[c, start:end]
+        else:
+            ext = ext_kmers[c]
+            start = int(ext_lm[c] - lreq[c])
+            end = int(ext.size - (rg[c] - rreq[c]))
+            fills[gi] = ext[start:end]
+    return fills
+
+
+def _gap_runs(translation: list[str], threshold: int) -> list[tuple[int, int]]:
+    """Maximal ['-'|'X'] + '-'* blocks with start in
+    [threshold, n - threshold - 1) (reference: src/gap_filling.rs:466-475).
+
+    Filled gaps are painted with 'M'/nucleotides, never '-'/'X', and writes
+    land strictly left of the reference's scan point, so enumerating on the
+    ORIGINAL translation is equivalent to its incremental rescan.
+    """
+    n = len(translation)
+    arr = np.frombuffer(
+        "".join(translation).encode("latin-1"), dtype=np.uint8
+    )
+    is_dash = arr == ord("-")
+    is_gap_char = is_dash | (arr == ord("X"))
+    # run ends: first non-dash at or after each index
+    not_dash_next = np.flatnonzero(~is_dash)
+    gaps: list[tuple[int, int]] = []
+    lo, hi = threshold, n - threshold - 1
+    p = lo
+    for p0 in (np.flatnonzero(is_gap_char[lo:hi]) + lo).tolist():
+        if p0 < p:
+            continue
+        t = np.searchsorted(not_dash_next, p0 + 1)
+        q = int(not_dash_next[t]) if t < not_dash_next.size else n
+        gaps.append((p0, q))
+        p = q
+    return gaps
+
+
+def _run_log_prob(matching: np.ndarray, bound: float) -> bool:
+    """Sum of per-run match CDFs over consecutive-match pair runs; a run
+    that reaches the final pair contributes nothing
+    (reference: src/gap_filling.rs:496-512)."""
+    if matching.size < 2:
+        return 0.0 > bound
+    pairs = matching[:-1] & matching[1:]
+    log_probs = 0.0
+    idx = np.flatnonzero(pairs)
+    if idx.size:
+        splits = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate([[0], splits + 1])
+        ends = np.concatenate([splits, [idx.size - 1]])
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if idx[e] == pairs.size - 1:
+                continue  # trailing run never flushes
+            run = e - s + 1
+            log_probs += log_rm_max_cdf(run + 1, 4, 1)
+    return log_probs > bound
 
 
 def fill_gaps(
     translation: list[str],
     noisy_ms: np.ndarray,
-    ivals: np.ndarray,
+    ivals,
     ref_seq: bytes,
     query_sbwt: SbwtIndex,
     threshold: int,
     max_err_prob: float,
 ) -> list[str]:
-    """Resolve '-'/'X' runs in the translation with query k-mers spanning the
-    gap (reference: src/gap_filling.rs:444-526)."""
+    """Resolve '-'/'X' runs in the translation with query k-mers spanning
+    each gap (reference: src/gap_filling.rs:444-526), batch-evaluated."""
     n = len(translation)
     assert n > 0
     assert n == len(noisy_ms)
@@ -182,92 +462,61 @@ def fill_gaps(
     assert k > 0
 
     ref_seq = bytes(ref_seq)
+    ref_codes = encode_ascii(ref_seq)
     refined = list(translation)
     bound = math.log1p(-max_err_prob)
 
-    # Enumerate gaps upfront (vectorized): filled gaps are painted with
-    # 'M'/nucleotides, never '-'/'X', and writes land strictly left of the
-    # scan point, so the reference's incremental scan over `refined`
-    # (src/gap_filling.rs:466-475) sees exactly the gaps of the ORIGINAL
-    # translation: maximal ['-'|'X'] + '-'* blocks with start in
-    # [threshold, n - threshold - 1).
-    trans_arr = np.frombuffer(
-        "".join(translation).encode("latin-1"), dtype=np.uint8
-    )
-    is_dash = trans_arr == ord("-")
-    is_gap_char = is_dash | (trans_arr == ord("X"))
-    gaps = []
-    lo, hi = threshold, n - threshold - 1
-    p = lo
-    cand = np.flatnonzero(is_gap_char[lo:hi]) + lo
-    for p0 in cand:
-        if p0 < p:
-            continue
-        q = p0 + 1
-        while q < n and is_dash[q]:
-            q += 1
-        gaps.append((int(p0), int(q)))
-        p = q
-    # one batched interval fetch for every gap's search window up front --
-    # a lazy per-gap fetch costs one device round trip per gap (~30ms each
-    # through a remote relay; hundreds of gaps at genome scale)
-    if hasattr(ivals, "prefetch") and gaps:
-        wanted: list[int] = []
-        for start_index, run_end in gaps:
-            end_index = min(run_end, n - threshold)
-            gap_len = end_index - start_index
-            overlap_without_extend = gap_len + 2 * threshold <= k
-            search_radius = k - (threshold if overlap_without_extend else 0)
-            search_start = min(end_index + search_radius, len(ref_seq) - 1)
-            search_end = end_index + threshold
-            wanted.extend(range(search_end, search_start + 1))
-        ivals.prefetch(wanted)
+    runs = _gap_runs(translation, threshold)
+    if not runs:
+        return refined
 
-    for start_index, run_end in gaps:
+    tasks = []
+    for start_index, run_end in runs:
         end_index = min(run_end, n - threshold)
         gap_len = end_index - start_index
-
-        overlap_without_extend = gap_len + 2 * threshold <= k
-        search_radius = k - (threshold if overlap_without_extend else 0)
-        kmer = left_extend_over_gap(
-            ivals, ref_seq, query_sbwt, threshold, threshold,
-            start_index, end_index, search_radius,
-        )
-
-        kmer_found = len(kmer) > 0 and b"$" not in kmer
-        no_indels = len(kmer) == threshold + gap_len + threshold
-
-        matching_bases = [
-            kmer_nt == ref_nt
-            for kmer_nt, ref_nt in zip(
-                kmer[min(threshold, len(kmer)) : min(threshold + gap_len, len(kmer))],
-                ref_seq[start_index:end_index],
+        fits_without_extension = gap_len + 2 * threshold <= k
+        radius = k - (threshold if fits_without_extension else 0)
+        tasks.append(
+            _GapTask(
+                gap_start=start_index,
+                gap_end=end_index,
+                left_req=threshold,
+                right_req=threshold,
+                search_lo=end_index + threshold,
+                search_hi=min(end_index + radius, len(ref_seq) - 1),
             )
-        ]
-        total_overlaps = sum(matching_bases)
-        # sum of per-run cdfs over consecutive-match runs; a trailing run
-        # that reaches the end of the window contributes nothing
-        log_probs = 0.0
-        consecutive = 0
-        for x0, x1 in zip(matching_bases, matching_bases[1:]):
-            if x0 and x1:
-                consecutive += 1
-            else:
-                if consecutive > 0:
-                    log_probs += log_rm_max_cdf(consecutive + 1, 4, 1)
-                consecutive = 0
-
-        fill_overlaps = log_probs > bound
-        fill_flanked = (
-            bool(matching_bases)
-            and not matching_bases[0]
-            and not matching_bases[-1]
-            and total_overlaps + 2 == gap_len
         )
-        get_stats().add("gaps_seen")
-        if kmer_found and no_indels and (overlap_without_extend or fill_overlaps or fill_flanked):
-            get_stats().add("gaps_filled")
-            for t in range(start_index, end_index):
-                kmer_nt = kmer[threshold + (t - start_index)]
-                refined[t] = "M" if kmer_nt == ref_seq[t] else chr(kmer_nt)
+
+    fills = _evaluate_gaps(tasks, ivals, ref_codes, query_sbwt)
+
+    stats = get_stats()
+    for task, fill in zip(tasks, fills):
+        stats.add("gaps_seen")
+        gs, ge = task.gap_start, task.gap_end
+        gap_len = ge - gs
+        kmer = fill if fill is not None else np.zeros(0, dtype=np.uint8)
+        L = kmer.size
+        kmer_found = L > 0 and not (kmer == DOLLAR).any()
+        no_indels = L == 2 * threshold + gap_len
+
+        seg = kmer[min(threshold, L) : min(threshold + gap_len, L)]
+        m = min(seg.size, gap_len)
+        matching = seg[:m] == ref_codes[gs : gs + m]
+
+        fits_without_extension = gap_len + 2 * threshold <= k
+        fill_overlaps = _run_log_prob(matching, bound)
+        fill_flanked = (
+            matching.size > 0
+            and not matching[0]
+            and not matching[-1]
+            and int(matching.sum()) + 2 == gap_len
+        )
+        if kmer_found and no_indels and (
+            fits_without_extension or fill_overlaps or fill_flanked
+        ):
+            stats.add("gaps_filled")
+            filler = decode_codes(kmer[threshold : threshold + gap_len])
+            for t in range(gs, ge):
+                ch = filler[t - gs]
+                refined[t] = "M" if ch == ref_seq[t] else chr(ch)
     return refined
