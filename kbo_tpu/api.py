@@ -129,7 +129,12 @@ def find_batch(
 
 
 def call(
-    sbwt_query: SbwtIndex, ref_seq: bytes, call_opts: CallOpts | None = None
+    sbwt_query: SbwtIndex,
+    ref_seq: bytes,
+    call_opts: CallOpts | None = None,
+    noisy_ms=None,
+    ivals=None,
+    drops=None,
 ) -> list[variant_calling.Variant]:
     """Call variants between a query index and a reference sequence
     (reference: src/lib.rs:547-573).
@@ -173,6 +178,9 @@ def call(
             inner,  # -> call_variants' sbwt_query slot (index or raw codes)
             ref_seq,
             opts.max_error_prob,
+            noisy_ms=noisy_ms,
+            ivals=ivals,
+            drops=drops,
         )
     get_stats().add("variants_called", len(variants))
     return variants
@@ -237,6 +245,13 @@ def map_(
     return "".join(with_variants).encode("latin-1")
 
 
+def _pow2_cap(n: int, lo: int = 256) -> int:
+    c = lo
+    while c < n:
+        c <<= 1
+    return c
+
+
 def map_batch(
     ref_seqs: list[bytes],
     query_sbwt: SbwtIndex,
@@ -244,14 +259,170 @@ def map_batch(
 ) -> list[bytes]:
     """Batched :func:`map_` over many reference contigs.
 
-    The MS sweep + derandomize + translate stage for ALL contigs runs as
-    one fused device batch; the data-dependent refinement (gap filling,
-    variant calling) then proceeds per contig with sparse interval fetches,
-    exactly as :func:`map_` does.
+    Device path ("sparse-fetch"): the MS sweep + derandomize + translate for
+    ALL contigs runs as one fused device call that also compacts the
+    refinement candidates (MS drops, gap runs) on device; the dense
+    chars/MS arrays never cross the device->host boundary. Refinement
+    produces (position, char) patches, which are scattered back on device;
+    the output is fetched as run-length deltas against the reference and
+    reconstructed on host (kernels/mapsweep.py).
+
+    ``KBO_TPU_MAP_DENSE=1`` forces the round-1 dense-fetch path (used by
+    the differential tests).
     """
+    import os
+
     opts = map_opts or MapOpts()
     if not ref_seqs:
         return []
+    if (
+        os.environ.get("KBO_TPU_BACKEND", "auto") != "host"
+        and os.environ.get("KBO_TPU_MAP_DENSE", "0") != "1"
+    ):
+        return _map_batch_sparse(ref_seqs, query_sbwt, opts)
+    return _map_batch_dense(ref_seqs, query_sbwt, opts)
+
+
+def _map_batch_sparse(
+    ref_seqs: list[bytes], query_sbwt: SbwtIndex, opts: MapOpts
+) -> list[bytes]:
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.mapsweep import (
+        assemble_map,
+        fetch_candidates,
+        fetch_delta_runs,
+        map_sweep_compact,
+    )
+    from kbo_tpu.pipeline import pad_batch
+
+    k = query_sbwt.k
+    if opts.call_variants:
+        assert k == opts.sbwt_build_opts.k
+    threshold = derandomize.random_match_threshold(
+        k, query_sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    dev = engine.device_index(query_sbwt)
+    code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
+    codes, lengths = pad_batch(code_list, bucket=True)
+    Q, L = codes.shape
+
+    with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        (
+            chars_dev,
+            ms_dev,
+            counts_dev,
+            drop_pos_dev,
+            gap_start_dev,
+            gap_end_dev,
+        ) = map_sweep_compact(
+            dev.keys2,
+            dev.cap2,
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            k,
+            jnp.int32(threshold),
+        )
+        counts = np.asarray(counts_dev)  # [Q, 2]; forces + fetches the sweep
+        cap_d = _pow2_cap(int(counts[:, 0].max()))
+        cap_g = _pow2_cap(int(counts[:, 1].max()))
+        packed = np.asarray(
+            fetch_candidates(drop_pos_dev, gap_start_dev, gap_end_dev,
+                             cap_d, cap_g)
+        )
+
+    patch_pos: list[np.ndarray] = []
+    patch_val: list[np.ndarray] = []
+    for q, ref_seq in enumerate(ref_seqs):
+        ref_seq = bytes(ref_seq)
+        nd, ng = int(counts[q, 0]), int(counts[q, 1])
+        drops = packed[q, :nd].astype(np.int64)
+        runs = list(
+            zip(
+                packed[q, cap_d : cap_d + ng].tolist(),
+                packed[q, cap_d + cap_g : cap_d + cap_g + ng].tolist(),
+            )
+        )
+        ivals = engine.SparseIntervals(
+            query_sbwt, code_list[q], ms=ms_dev[q]
+        )
+        patches: dict[int, int] = {}
+        if opts.fill_gaps:
+            for pos, ch in gap_filling.fill_gaps_patches(
+                runs, ivals, ref_seq, query_sbwt, threshold,
+                opts.max_error_prob,
+            ):
+                patches[pos] = ch
+        if opts.call_variants:
+            variants = call(
+                query_sbwt,
+                ref_seq,
+                CallOpts(
+                    max_error_prob=opts.max_error_prob,
+                    sbwt_build_opts=opts.sbwt_build_opts,
+                ),
+                ivals=ivals,
+                drops=drops,
+            )
+            for pos, ch in translate.variant_patches(variants):
+                patches[pos] = ch
+        if patches:
+            pp = np.fromiter(patches.keys(), dtype=np.int64)
+            patch_pos.append((pp + q * L).astype(np.int32))
+            patch_val.append(
+                np.fromiter(patches.values(), dtype=np.int64).astype(np.uint8)
+            )
+
+    with stage("map_assemble", bases=sum(c.size for c in code_list)):
+        n_p = sum(p.size for p in patch_pos)
+        cap_p = _pow2_cap(max(n_p, 1))
+        pp = np.full(cap_p, Q * L, dtype=np.int32)  # out of range = inert
+        pv = np.zeros(cap_p, dtype=np.uint8)
+        if n_p:
+            pp[:n_p] = np.concatenate(patch_pos)
+            pv[:n_p] = np.concatenate(patch_val)
+        ref_mat = np.zeros((Q, L), dtype=np.uint8)
+        for q, r in enumerate(ref_seqs):
+            ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+        counts2_dev, rs_dev, re_dev, rv_dev = assemble_map(
+            chars_dev,
+            jnp.asarray(ref_mat),
+            jnp.asarray(lengths),
+            jnp.asarray(pp),
+            jnp.asarray(pv),
+            bool(opts.format),
+        )
+        counts2 = np.asarray(counts2_dev)
+        n_runs = int(counts2[0])
+        cap_r = _pow2_cap(max(n_runs, 1))
+        delta = np.asarray(fetch_delta_runs(rs_dev, re_dev, rv_dev, cap_r))
+
+    out: list[bytes] = []
+    for q, ref_seq in enumerate(ref_seqs):
+        n = len(ref_seq)
+        if opts.format:
+            buf = bytearray(bytes(ref_seq))
+        else:
+            buf = bytearray(b"M" * n)
+        out.append(buf)
+    for j in range(n_runs):
+        s, e, v = int(delta[0, j]), int(delta[1, j]), int(delta[2, j])
+        q = s // L
+        s_local = s - q * L
+        e_local = min(e - q * L, len(out[q]))
+        out[q][s_local:e_local] = bytes([v]) * (e_local - s_local)
+    return [bytes(b) for b in out]
+
+
+def _map_batch_dense(
+    ref_seqs: list[bytes],
+    query_sbwt: SbwtIndex,
+    opts: MapOpts,
+) -> list[bytes]:
+    """Dense-fetch map path: downloads full chars/MS arrays per contig.
+
+    Kept as the differential/fallback twin of :func:`_map_batch_sparse`
+    (every full-length array crossing the relay costs ~100ms/MB)."""
     k = query_sbwt.k
     if opts.call_variants:
         assert k == opts.sbwt_build_opts.k
@@ -270,8 +441,11 @@ def map_batch(
     ):
         ref_seq = bytes(ref_seq)
         translation = [chr(c) for c in chars]
+        # one lazy interval provider per contig: gap filling and variant
+        # calling read colex intervals at different candidate positions but
+        # share the cache (each miss batch is a device round trip)
+        ivals = engine.SparseIntervals(query_sbwt, ref_codes, ms=noisy_ms)
         if opts.fill_gaps:
-            ivals = engine.SparseIntervals(query_sbwt, ref_codes, ms=noisy_ms)
             refined = gap_filling.fill_gaps(
                 translation, noisy_ms, ivals, ref_seq, query_sbwt,
                 threshold, opts.max_error_prob,
@@ -286,6 +460,8 @@ def map_batch(
                     max_error_prob=opts.max_error_prob,
                     sbwt_build_opts=opts.sbwt_build_opts,
                 ),
+                noisy_ms=noisy_ms,
+                ivals=ivals,
             )
             refined = translate.add_variants(refined, variants)
         if opts.format:

@@ -71,6 +71,15 @@ def compute_ms_values_many(index: SbwtIndex, code_list: list[np.ndarray]):
     All queries go through the device join as one padded batch. Returns a
     list of int64 ms arrays, one per query.
     """
+    out = compute_ms_values_many_async(index, code_list)
+    return out() if callable(out) else out
+
+
+def compute_ms_values_many_async(index: SbwtIndex, code_list):
+    """Async :func:`compute_ms_values_many`: dispatches the device batch and
+    returns a zero-arg finalizer, so two independent batches can overlap
+    (each device fetch through the relay pays a full round trip). Host-path
+    inputs return the result list directly."""
     if not code_list:
         return []
     backend = _backend()
@@ -92,8 +101,12 @@ def compute_ms_values_many(index: SbwtIndex, code_list: list[np.ndarray]):
     ms = _flat_ms_to_batch(
         _ms2_jit(dev.keys2, dev.cap2, buf, dev.k), Q, L, dev.k
     )
-    ms = np.asarray(ms, dtype=np.int64)
-    return [ms[i, : c.size] for i, c in enumerate(code_list)]
+
+    def finalize():
+        ms_np = np.asarray(ms, dtype=np.int64)
+        return [ms_np[i, : c.size] for i, c in enumerate(code_list)]
+
+    return finalize
 
 
 def compute_ms_intervals_at(
@@ -112,11 +125,15 @@ def compute_ms_intervals_at(
     against the 3-bit all-rows keys) and never recomputes MS.
     Returns (ms int64 [P], intervals int64 [P, 2]) in `positions` order.
     """
+    import jax
+
     codes = np.asarray(codes)
     positions = np.asarray(positions, dtype=np.int64)
+    dev_ms = isinstance(ms, jax.Array)
     backend = _backend()
-    if backend == "host" or (
-        backend == "auto" and positions.size * index.k < _HOST_CUTOFF
+    if not dev_ms and (
+        backend == "host"
+        or (backend == "auto" and positions.size * index.k < _HOST_CUTOFF)
     ):
         from kbo_tpu.ops.ms import query_ms_codes
 
@@ -125,7 +142,11 @@ def compute_ms_intervals_at(
 
     import jax.numpy as jnp
 
-    from kbo_tpu.kernels.ms import INVALID, _intervals3_windows_jit
+    from kbo_tpu.kernels.ms import (
+        INVALID,
+        _intervals3_windows_jit,
+        _intervals3_windows_msrow_jit,
+    )
 
     dev = device_index(index)
     k = dev.k
@@ -133,7 +154,6 @@ def compute_ms_intervals_at(
         from kbo_tpu.kernels.ms import query_ms_values_device
 
         ms = query_ms_values_device(dev, codes)
-    ms_at = np.asarray(ms, dtype=np.int64)[positions]
     # window matrix on host (host-side gathers are cheap)
     padded = np.full(codes.size + k - 1, INVALID, dtype=np.uint8)
     padded[k - 1 :] = codes
@@ -147,6 +167,18 @@ def compute_ms_intervals_at(
         windows = np.concatenate(
             [windows, np.full((Pb - P, k), INVALID, dtype=np.uint8)]
         )
+    if dev_ms:
+        # MS row stays on device: gather the values inside the probe and
+        # fetch (l, r, ms_at) as one stacked array -- one round trip
+        pos32 = np.zeros(Pb, dtype=np.int32)
+        pos32[:P] = positions
+        out = _intervals3_windows_msrow_jit(
+            dev.keys3, jnp.asarray(windows), ms, jnp.asarray(pos32), k
+        )
+        out = np.asarray(out, dtype=np.int64)
+        iv = np.stack([out[0, :P], out[1, :P]], axis=1)
+        return out[2, :P], iv
+    ms_at = np.asarray(ms, dtype=np.int64)[positions]
     ms_dev = np.zeros(Pb, dtype=np.int32)
     ms_dev[:P] = ms_at
     l, r = _intervals3_windows_jit(
@@ -168,13 +200,13 @@ class SparseIntervals:
     prefetch call); reading an unfetched position raises.
     """
 
-    def __init__(
-        self, index: SbwtIndex, codes: np.ndarray, ms: np.ndarray | None = None
-    ):
+    def __init__(self, index: SbwtIndex, codes: np.ndarray, ms=None):
         self._index = index
         self._codes = np.asarray(codes)
-        self._ms = None if ms is None else np.asarray(ms)
-        self._cache: dict[int, tuple[int, int]] = {}
+        # ms may be a host array OR a device-resident jax row (int32 [L],
+        # query coordinates) that is never downloaded in full
+        self._ms = ms
+        self._cache: dict[int, tuple[int, int, int]] = {}
 
     def __len__(self) -> int:
         return self._codes.size
@@ -186,11 +218,13 @@ class SparseIntervals:
         )
         if positions.size == 0:
             return
-        _, iv = compute_ms_intervals_at(
+        ms_at, iv = compute_ms_intervals_at(
             self._index, self._codes, positions, ms=self._ms
         )
-        for p, (l, r) in zip(positions.tolist(), iv.tolist()):
-            self._cache[p] = (l, r)
+        for p, (l, r), m in zip(
+            positions.tolist(), iv.tolist(), np.asarray(ms_at).tolist()
+        ):
+            self._cache[p] = (l, r, int(m))
 
     def __getitem__(self, key):
         pos, col = key
@@ -207,8 +241,17 @@ class SparseIntervals:
         self.prefetch(positions)
         out = np.empty((positions.size, 2), dtype=np.int64)
         for i, p in enumerate(positions.tolist()):
-            out[i] = self._cache[p]
+            out[i] = self._cache[p][:2]
         return out
+
+    def get_ms_batch(self, positions) -> np.ndarray:
+        """MS values at `positions` (prefetching the misses) -- lets the
+        refinement layers read sparse MS without a full-vector download."""
+        positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
+        self.prefetch(positions)
+        return np.asarray(
+            [self._cache[int(p)][2] for p in positions], dtype=np.int64
+        )
 
 
 def compute_ms_values_vs_seq(
@@ -221,6 +264,15 @@ def compute_ms_values_vs_seq(
     the sequence's own window keys -- no host index construction. Falls
     back to a host build + oracle for tiny inputs.
     """
+    out = compute_ms_values_vs_seq_async(ref_codes, code_list, k)
+    return out() if callable(out) else out
+
+
+def compute_ms_values_vs_seq_async(
+    ref_codes: np.ndarray, code_list: list[np.ndarray], k: int
+):
+    """Async :func:`compute_ms_values_vs_seq` (see
+    :func:`compute_ms_values_many_async` for the contract)."""
     if not code_list:
         return []
     ref_codes = np.asarray(ref_codes)
@@ -244,5 +296,9 @@ def compute_ms_values_vs_seq(
     buf[k - 1 :] = ref_codes
     codes, _ = pad_batch([np.asarray(c) for c in code_list], bucket=True)
     ms = _ms3_batch_vs_seq_jit(jnp.asarray(buf), jnp.asarray(codes), k)
-    ms = np.asarray(ms, dtype=np.int64)
-    return [ms[i, : c.size] for i, c in enumerate(code_list)]
+
+    def finalize():
+        ms_np = np.asarray(ms, dtype=np.int64)
+        return [ms_np[i, : c.size] for i, c in enumerate(code_list)]
+
+    return finalize

@@ -453,6 +453,21 @@ _intervals3_windows_jit = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _intervals3_windows_msrow_jit(keys3, windows, ms_row, pos, k):
+    """Sparse interval probe reading MS values from a DEVICE-resident row.
+
+    ms_row: int32 [L] query-coordinate MS values (stays on device -- the
+    sparse-fetch map path never downloads it); pos: int32 [Pb] query
+    positions (pad entries clipped, their rows are INVALID windows whose
+    outputs the caller slices off). Returns one stacked int32 [3, Pb]
+    (l, r, ms_at) so the host pays a single fetch.
+    """
+    ms_at = ms_row[jnp.minimum(pos, jnp.int32(ms_row.shape[0] - 1))]
+    l, r = intervals3_windows_core(keys3, windows, ms_at, k)
+    return jnp.stack([l, r, ms_at.astype(l.dtype)])
+
+
 def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
     """Per-position MS of a [Q, L] probe batch against a raw sequence.
 

@@ -70,21 +70,34 @@ def add_variants(translation, variants) -> list[str]:
     fill with the uniform ref char or 'N'.
     """
     refined = list(translation)
+    for pos, ch in variant_patches(variants):
+        refined[pos] = chr(ch)
+    return refined
+
+
+def variant_patches(variants) -> list[tuple[int, int]]:
+    """add_variants as (position, ascii) writes (same order, last wins).
+
+    The patch form lets the sparse-fetch map path scatter variant edits
+    into the device-resident translation (kernels/mapsweep.py) instead of
+    materializing the char string on host.
+    """
+    patches: list[tuple[int, int]] = []
     for var in variants:
         q = var.query_chars
         r = var.ref_chars
         if len(q) == len(r):
             for i, nt in enumerate(r):
-                refined[var.query_pos + i] = chr(nt)
+                patches.append((var.query_pos + i, nt))
         elif len(q) == 0:
-            refined[var.query_pos - 1] = "I"
-            refined[var.query_pos] = "I"
+            patches.append((var.query_pos - 1, ord("I")))
+            patches.append((var.query_pos, ord("I")))
         elif len(r) == 0:
             for i in range(len(q)):
-                refined[var.query_pos + i] = "D"
+                patches.append((var.query_pos + i, ord("D")))
         else:
             all_equal = len(set(r)) == 1
-            fill = chr(r[0]) if all_equal else "N"
+            fill = r[0] if all_equal else ord("N")
             for i in range(len(q)):
-                refined[var.query_pos + i] = fill
-    return refined
+                patches.append((var.query_pos + i, fill))
+    return patches

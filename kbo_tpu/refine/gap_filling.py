@@ -444,31 +444,34 @@ def _run_log_prob(matching: np.ndarray, bound: float) -> bool:
     return log_probs > bound
 
 
-def fill_gaps(
-    translation: list[str],
-    noisy_ms: np.ndarray,
+def fill_gaps_patches(
+    runs: list[tuple[int, int]],
     ivals,
     ref_seq: bytes,
     query_sbwt: SbwtIndex,
     threshold: int,
     max_err_prob: float,
-) -> list[str]:
-    """Resolve '-'/'X' runs in the translation with query k-mers spanning
-    each gap (reference: src/gap_filling.rs:444-526), batch-evaluated."""
-    n = len(translation)
-    assert n > 0
-    assert n == len(noisy_ms)
+) -> list[tuple[int, int]]:
+    """Evaluate gap runs and return fill writes as (position, ascii) patches.
+
+    ``runs`` are raw (start, next-non-dash) pairs -- from :func:`_gap_runs`
+    on host or from the device sweep's compacted gap table
+    (kernels/mapsweep.py). Acceptance and painting semantics mirror
+    fill_gaps (reference: src/gap_filling.rs:476-519); a patch writes 'M'
+    where the filler agrees with the reference and the filler nucleotide
+    where it does not. The patch form lets the sparse-fetch map path
+    scatter the writes into the device-resident translation instead of
+    materializing the full char string on host.
+    """
+    n = len(ref_seq)
     k = query_sbwt.k
     assert k > 0
-
     ref_seq = bytes(ref_seq)
     ref_codes = encode_ascii(ref_seq)
-    refined = list(translation)
     bound = math.log1p(-max_err_prob)
-
-    runs = _gap_runs(translation, threshold)
+    patches: list[tuple[int, int]] = []
     if not runs:
-        return refined
+        return patches
 
     tasks = []
     for start_index, run_end in runs:
@@ -518,5 +521,31 @@ def fill_gaps(
             filler = decode_codes(kmer[threshold : threshold + gap_len])
             for t in range(gs, ge):
                 ch = filler[t - gs]
-                refined[t] = "M" if ch == ref_seq[t] else chr(ch)
+                patches.append(
+                    (t, ord("M") if ch == ref_seq[t] else ch)
+                )
+    return patches
+
+
+def fill_gaps(
+    translation: list[str],
+    noisy_ms,
+    ivals,
+    ref_seq: bytes,
+    query_sbwt: SbwtIndex,
+    threshold: int,
+    max_err_prob: float,
+) -> list[str]:
+    """Resolve '-'/'X' runs in the translation with query k-mers spanning
+    each gap (reference: src/gap_filling.rs:444-526), batch-evaluated."""
+    n = len(translation)
+    assert n > 0
+    if noisy_ms is not None:
+        assert n == len(noisy_ms)
+    refined = list(translation)
+    runs = _gap_runs(translation, threshold)
+    for pos, ch in fill_gaps_patches(
+        runs, ivals, bytes(ref_seq), query_sbwt, threshold, max_err_prob
+    ):
+        refined[pos] = chr(ch)
     return refined

@@ -125,6 +125,9 @@ def call_variants(
     sbwt_query: SbwtIndex,
     query: bytes,
     max_error_prob: float,
+    noisy_ms: np.ndarray | None = None,
+    ivals=None,
+    drops: np.ndarray | None = None,
 ) -> list[Variant]:
     """Call all variants between `query` and the reference index.
 
@@ -133,6 +136,14 @@ def call_variants(
     are vectorized, candidate k-mers are extracted with the batched select
     walk, and all per-candidate k-mer MS re-runs go through the device MS
     engine as one batch (two-phase sparse refinement, SURVEY §7.3).
+
+    ``noisy_ms`` is the full-length MS of ``query`` vs ``sbwt_ref`` when the
+    caller already ran that sweep (the map path always has); ``ivals`` an
+    optional shared :class:`kbo_tpu.engine.SparseIntervals` provider so the
+    anchor-window interval fetch reuses (and feeds) the gap filler's cache;
+    ``drops`` precomputed MS-drop positions (the sparse-fetch map sweep
+    compacts them on device), which together with ``ivals`` lets this run
+    without ever materializing the full MS vector on host.
     """
     from kbo_tpu import engine
     from kbo_tpu.index.encode import decode_codes
@@ -145,12 +156,19 @@ def call_variants(
     query = bytes(query)
     n = len(query)
     codes = encode_ascii(query)
-    ms = engine.compute_ms_values(sbwt_ref, codes)
-
-    # phase 1: MS drops below threshold (the variant-start signal)
-    drops = (
-        np.flatnonzero((ms[1:] < ms[:-1]) & (ms[:-1] >= d) & (ms[1:] < d)) + 1
-    )
+    ms = np.asarray(noisy_ms) if noisy_ms is not None else None
+    if drops is None:
+        if ms is None:
+            ms = engine.compute_ms_values(sbwt_ref, codes)
+        # phase 1: MS drops below threshold (the variant-start signal)
+        drops = (
+            np.flatnonzero(
+                (ms[1:] < ms[:-1]) & (ms[:-1] >= d) & (ms[1:] < d)
+            )
+            + 1
+        )
+    else:
+        drops = np.asarray(drops, dtype=np.int64)
     if drops.size == 0:
         return []
 
@@ -162,9 +180,13 @@ def call_variants(
         (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
     )
     cand = cand[cand < n]
-    cand_ms, cand_iv = engine.compute_ms_intervals_at(
-        sbwt_ref, codes, cand, ms=ms
-    )
+    if ivals is not None:
+        cand_iv = ivals.get_batch(cand)
+        cand_ms = ms[cand] if ms is not None else ivals.get_ms_batch(cand)
+    else:
+        cand_ms, cand_iv = engine.compute_ms_intervals_at(
+            sbwt_ref, codes, cand, ms=ms
+        )
     good_c = (cand_ms >= d) & (cand_iv[:, 1] - cand_iv[:, 0] == 1)
     anchor = np.full(drops.size, -1, dtype=np.int64)
     for off in range(1, k + 1):
@@ -185,17 +207,27 @@ def call_variants(
     query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
-    ms_vs_ref_list = engine.compute_ms_values_many(sbwt_ref, qk_codes)
+    # dispatch both candidate batches before fetching either -- each fetch
+    # pays a device round trip, and the two joins are independent
+    ms_vs_ref_out = engine.compute_ms_values_many_async(sbwt_ref, qk_codes)
     if isinstance(sbwt_query, SbwtIndex):
         assert sbwt_ref.k == sbwt_query.k
-        ms_vs_query_list = engine.compute_ms_values_many(sbwt_query, rk_codes)
+        ms_vs_query_out = engine.compute_ms_values_many_async(
+            sbwt_query, rk_codes
+        )
     else:
         # raw encoded sequence: device join against its window keys -- the
         # reference's build-an-index-inside-call() (src/lib.rs:553) without
         # the index construction
-        ms_vs_query_list = engine.compute_ms_values_vs_seq(
+        ms_vs_query_out = engine.compute_ms_values_vs_seq_async(
             sbwt_query, rk_codes, k
         )
+    ms_vs_ref_list = (
+        ms_vs_ref_out() if callable(ms_vs_ref_out) else ms_vs_ref_out
+    )
+    ms_vs_query_list = (
+        ms_vs_query_out() if callable(ms_vs_query_out) else ms_vs_query_out
+    )
 
     calls: list[Variant] = []
     for t, i in enumerate(sites):
