@@ -323,18 +323,30 @@ def _map_batch_sparse(
             k,
             jnp.int32(threshold),
         )
-        counts = np.asarray(counts_dev)  # [Q, 2]; forces + fetches the sweep
-        cap_d = _pow2_cap(int(counts[:, 0].max()))
-        cap_g = _pow2_cap(int(counts[:, 1].max()))
+        # optimistic single fetch: counts ride along with guess-capacity
+        # candidate slices; only a denser-than-1-per-512-bases input pays a
+        # second exactly-sized fetch
+        cap_d = cap_g = _pow2_cap(L // 512)
         packed = np.asarray(
-            fetch_candidates(drop_pos_dev, gap_start_dev, gap_end_dev,
-                             cap_d, cap_g)
+            fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
+                             gap_end_dev, cap_d, cap_g)
         )
+        counts = packed[:, :2]
+        if int(counts[:, 0].max()) > cap_d or int(counts[:, 1].max()) > cap_g:
+            cap_d = _pow2_cap(int(counts[:, 0].max()))
+            cap_g = _pow2_cap(int(counts[:, 1].max()))
+            packed = np.asarray(
+                fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
+                                 gap_end_dev, cap_d, cap_g)
+            )
+        packed = packed[:, 2:]
 
     patch_pos: list[np.ndarray] = []
     patch_val: list[np.ndarray] = []
+    unfilled_bases = 0
     for q, ref_seq in enumerate(ref_seqs):
         ref_seq = bytes(ref_seq)
+        n_ref = len(ref_seq)
         nd, ng = int(counts[q, 0]), int(counts[q, 1])
         drops = packed[q, :nd].astype(np.int64)
         runs = list(
@@ -346,13 +358,33 @@ def _map_batch_sparse(
         ivals = engine.SparseIntervals(
             query_sbwt, code_list[q], ms=ms_dev[q]
         )
+        # both refinement layers' interval reads, prefetched as ONE probe
+        probe_parts = []
+        if opts.fill_gaps and runs:
+            probe_parts.append(
+                gap_filling.gap_probe_positions(runs, n_ref, k, threshold)
+            )
+        if opts.call_variants and drops.size:
+            cand = np.unique(
+                (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
+            )
+            probe_parts.append(cand[cand < n_ref])
+        if probe_parts:
+            ivals.prefetch(np.unique(np.concatenate(probe_parts)))
         patches: dict[int, int] = {}
+        clamped_gap_bases = sum(
+            max(0, min(e, n_ref - threshold) - s) for s, e in runs
+        )
         if opts.fill_gaps:
-            for pos, ch in gap_filling.fill_gaps_patches(
+            gp = gap_filling.fill_gaps_patches(
                 runs, ivals, ref_seq, query_sbwt, threshold,
                 opts.max_error_prob,
-            ):
+            )
+            unfilled_bases += max(0, clamped_gap_bases - len(gp))
+            for pos, ch in gp:
                 patches[pos] = ch
+        else:
+            unfilled_bases += clamped_gap_bases
         if opts.call_variants:
             variants = call(
                 query_sbwt,
@@ -392,10 +424,19 @@ def _map_batch_sparse(
             jnp.asarray(pv),
             bool(opts.format),
         )
-        counts2 = np.asarray(counts2_dev)
-        n_runs = int(counts2[0])
-        cap_r = _pow2_cap(max(n_runs, 1))
-        delta = np.asarray(fetch_delta_runs(rs_dev, re_dev, rv_dev, cap_r))
+        # optimistic single fetch: the host knows the patch count and the
+        # unfilled gap volume, so the delta-run count is predictable up to
+        # flank '-' regions (margin below); a miss pays one refetch
+        cap_r = _pow2_cap(n_p + unfilled_bases + L // 256 + 64)
+        delta = np.asarray(
+            fetch_delta_runs(counts2_dev, rs_dev, re_dev, rv_dev, cap_r)
+        )
+        n_runs = int(delta[3, 0])
+        if n_runs > cap_r:
+            cap_r = _pow2_cap(n_runs)
+            delta = np.asarray(
+                fetch_delta_runs(counts2_dev, rs_dev, re_dev, rv_dev, cap_r)
+            )
 
     out: list[bytes] = []
     for q, ref_seq in enumerate(ref_seqs):

@@ -75,19 +75,17 @@ def compute_ms_values_many(index: SbwtIndex, code_list: list[np.ndarray]):
     return out() if callable(out) else out
 
 
-def compute_ms_values_many_async(index: SbwtIndex, code_list):
-    """Async :func:`compute_ms_values_many`: dispatches the device batch and
-    returns a zero-arg finalizer, so two independent batches can overlap
-    (each device fetch through the relay pays a full round trip). Host-path
-    inputs return the result list directly."""
+def compute_ms_values_many_device(index: SbwtIndex, code_list):
+    """Device-array form of :func:`compute_ms_values_many`: dispatches the
+    batch and returns the [Q, Lb] int32 device array (not fetched), or None
+    when the host path applies. Lets callers pack several independent
+    batches into a single fetch (each fetch pays a relay round trip)."""
     if not code_list:
-        return []
+        return None
     backend = _backend()
     total = sum(c.size for c in code_list)
     if backend == "host" or (backend == "auto" and total < _HOST_CUTOFF):
-        from kbo_tpu.ops.ms import query_ms_codes
-
-        return [query_ms_codes(index, c)[0] for c in code_list]
+        return None
 
     import jax.numpy as jnp
 
@@ -98,9 +96,23 @@ def compute_ms_values_many_async(index: SbwtIndex, code_list):
     codes, _ = pad_batch([np.asarray(c) for c in code_list], bucket=True)
     Q, L = codes.shape
     buf = _make_buf(jnp.asarray(codes), dev.k)
-    ms = _flat_ms_to_batch(
+    return _flat_ms_to_batch(
         _ms2_jit(dev.keys2, dev.cap2, buf, dev.k), Q, L, dev.k
     )
+
+
+def compute_ms_values_many_async(index: SbwtIndex, code_list):
+    """Async :func:`compute_ms_values_many`: dispatches the device batch and
+    returns a zero-arg finalizer, so two independent batches can overlap
+    (each device fetch through the relay pays a full round trip). Host-path
+    inputs return the result list directly."""
+    if not code_list:
+        return []
+    ms = compute_ms_values_many_device(index, code_list)
+    if ms is None:
+        from kbo_tpu.ops.ms import query_ms_codes
+
+        return [query_ms_codes(index, c)[0] for c in code_list]
 
     def finalize():
         ms_np = np.asarray(ms, dtype=np.int64)
@@ -268,24 +280,19 @@ def compute_ms_values_vs_seq(
     return out() if callable(out) else out
 
 
-def compute_ms_values_vs_seq_async(
+def compute_ms_values_vs_seq_device(
     ref_codes: np.ndarray, code_list: list[np.ndarray], k: int
 ):
-    """Async :func:`compute_ms_values_vs_seq` (see
-    :func:`compute_ms_values_many_async` for the contract)."""
+    """Device-array form of :func:`compute_ms_values_vs_seq` (see
+    :func:`compute_ms_values_many_device` for the contract)."""
     if not code_list:
-        return []
+        return None
     ref_codes = np.asarray(ref_codes)
     backend = _backend()
     if backend == "host" or (
         backend == "auto" and ref_codes.size < 4 * _HOST_CUTOFF
     ):
-        from kbo_tpu.index.build import build_index_from_segments
-        from kbo_tpu.index.encode import split_segments
-        from kbo_tpu.ops.ms import query_ms_codes
-
-        index = build_index_from_segments(split_segments(ref_codes), k)
-        return [query_ms_codes(index, c)[0] for c in code_list]
+        return None
 
     import jax.numpy as jnp
 
@@ -295,7 +302,26 @@ def compute_ms_values_vs_seq_async(
     buf = np.full(ref_codes.size + k - 1, INVALID, dtype=np.uint8)
     buf[k - 1 :] = ref_codes
     codes, _ = pad_batch([np.asarray(c) for c in code_list], bucket=True)
-    ms = _ms3_batch_vs_seq_jit(jnp.asarray(buf), jnp.asarray(codes), k)
+    return _ms3_batch_vs_seq_jit(jnp.asarray(buf), jnp.asarray(codes), k)
+
+
+def compute_ms_values_vs_seq_async(
+    ref_codes: np.ndarray, code_list: list[np.ndarray], k: int
+):
+    """Async :func:`compute_ms_values_vs_seq` (see
+    :func:`compute_ms_values_many_async` for the contract)."""
+    if not code_list:
+        return []
+    ms = compute_ms_values_vs_seq_device(ref_codes, code_list, k)
+    if ms is None:
+        from kbo_tpu.index.build import build_index_from_segments
+        from kbo_tpu.index.encode import split_segments
+        from kbo_tpu.ops.ms import query_ms_codes
+
+        index = build_index_from_segments(
+            split_segments(np.asarray(ref_codes)), k
+        )
+        return [query_ms_codes(index, c)[0] for c in code_list]
 
     def finalize():
         ms_np = np.asarray(ms, dtype=np.int64)

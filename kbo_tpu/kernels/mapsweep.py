@@ -149,11 +149,16 @@ map_sweep_compact = jax.jit(map_sweep_compact_core, static_argnames=("k",))
 
 
 @functools.partial(jax.jit, static_argnames=("cap_d", "cap_g"))
-def fetch_candidates(drop_pos, gap_start, gap_end_at, cap_d: int, cap_g: int):
+def fetch_candidates(
+    counts, drop_pos, gap_start, gap_end_at, cap_d: int, cap_g: int
+):
     """Slice the compacted candidate arrays to bucketed capacities and pack
-    them into one int32 matrix (a single fetch pays one relay round trip)."""
+    them WITH the counts into one int32 matrix (one fetch = one relay round
+    trip; the caller checks the leading counts for capacity overflow and
+    refetches with exact capacities in the rare dense case)."""
     return jnp.concatenate(
         [
+            counts,
             drop_pos[:, :cap_d],
             gap_start[:, :cap_g],
             gap_end_at[:, :cap_g],
@@ -217,7 +222,9 @@ def assemble_map_core(chars, ref_ascii, lengths, patch_pos, patch_val,
     )[0]
     run_val = out[jnp.minimum(run_start, jnp.int32(Q * L - 1))]
     n_runs = jnp.sum(run_start_mask, dtype=jnp.int32)
-    checksum = jnp.sum(jnp.where(in_len, out, 0).astype(jnp.int32))
+    checksum = jnp.sum(
+        jnp.where(in_len, out, 0).astype(jnp.int32), dtype=jnp.int32
+    )
     counts = jnp.stack([n_runs, checksum])
     return counts, run_start, run_end, run_val
 
@@ -226,13 +233,16 @@ assemble_map = jax.jit(assemble_map_core, static_argnames=("fmt",))
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def fetch_delta_runs(run_start, run_end, run_val, cap: int):
-    """Slice the compacted delta runs to a bucketed capacity, packed as one
-    int32 [3, cap] fetch."""
+def fetch_delta_runs(counts, run_start, run_end, run_val, cap: int):
+    """Slice the compacted delta runs to a bucketed capacity, packed with
+    the (n_runs, checksum) counts as one int32 [4, cap] fetch (row 3 holds
+    the counts in its leading entries)."""
+    crow = jnp.zeros(cap, jnp.int32).at[:2].set(counts)
     return jnp.stack(
         [
             run_start[:cap],
             run_end[:cap],
             run_val[:cap].astype(jnp.int32),
+            crow,
         ]
     )

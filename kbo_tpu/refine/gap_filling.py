@@ -444,6 +444,27 @@ def _run_log_prob(matching: np.ndarray, bound: float) -> bool:
     return log_probs > bound
 
 
+def gap_probe_positions(
+    runs: list[tuple[int, int]], n_ref: int, k: int, threshold: int
+) -> np.ndarray:
+    """Every reference position whose colex interval the gap evaluator will
+    read for these runs -- lets a caller prefetch them together with other
+    consumers' positions in one device probe."""
+    parts = []
+    for start_index, run_end in runs:
+        end_index = min(run_end, n_ref - threshold)
+        gap_len = end_index - start_index
+        fits_without_extension = gap_len + 2 * threshold <= k
+        radius = k - (threshold if fits_without_extension else 0)
+        lo = end_index + threshold
+        hi = min(end_index + radius, n_ref - 1)
+        if hi >= lo:
+            parts.append(np.arange(lo, hi + 1, dtype=np.int64))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def fill_gaps_patches(
     runs: list[tuple[int, int]],
     ivals,

@@ -207,27 +207,58 @@ def call_variants(
     query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
-    # dispatch both candidate batches before fetching either -- each fetch
-    # pays a device round trip, and the two joins are independent
-    ms_vs_ref_out = engine.compute_ms_values_many_async(sbwt_ref, qk_codes)
+    # both candidate batches are independent; dispatch both, then pay ONE
+    # device fetch for the stacked pair (every fetch is a relay round trip)
+    ms_vs_ref_dev = engine.compute_ms_values_many_device(sbwt_ref, qk_codes)
     if isinstance(sbwt_query, SbwtIndex):
         assert sbwt_ref.k == sbwt_query.k
-        ms_vs_query_out = engine.compute_ms_values_many_async(
+        ms_vs_query_dev = engine.compute_ms_values_many_device(
             sbwt_query, rk_codes
         )
     else:
         # raw encoded sequence: device join against its window keys -- the
         # reference's build-an-index-inside-call() (src/lib.rs:553) without
         # the index construction
-        ms_vs_query_out = engine.compute_ms_values_vs_seq_async(
+        ms_vs_query_dev = engine.compute_ms_values_vs_seq_device(
             sbwt_query, rk_codes, k
         )
-    ms_vs_ref_list = (
-        ms_vs_ref_out() if callable(ms_vs_ref_out) else ms_vs_ref_out
-    )
-    ms_vs_query_list = (
-        ms_vs_query_out() if callable(ms_vs_query_out) else ms_vs_query_out
-    )
+    if (
+        ms_vs_ref_dev is not None
+        and ms_vs_query_dev is not None
+        and ms_vs_ref_dev.shape == ms_vs_query_dev.shape
+    ):
+        import jax.numpy as jnp
+
+        both = np.asarray(
+            jnp.stack([ms_vs_ref_dev, ms_vs_query_dev]), dtype=np.int64
+        )
+        ms_vs_ref_list = [both[0, i, : c.size] for i, c in enumerate(qk_codes)]
+        ms_vs_query_list = [
+            both[1, i, : c.size] for i, c in enumerate(rk_codes)
+        ]
+    else:  # host fallback (tiny inputs or KBO_TPU_BACKEND=host)
+        from kbo_tpu.ops.ms import query_ms_codes
+
+        if ms_vs_ref_dev is not None:
+            ms_np = np.asarray(ms_vs_ref_dev, dtype=np.int64)
+            ms_vs_ref_list = [
+                ms_np[i, : c.size] for i, c in enumerate(qk_codes)
+            ]
+        else:
+            ms_vs_ref_list = [query_ms_codes(sbwt_ref, c)[0] for c in qk_codes]
+        if ms_vs_query_dev is not None:
+            ms_np = np.asarray(ms_vs_query_dev, dtype=np.int64)
+            ms_vs_query_list = [
+                ms_np[i, : c.size] for i, c in enumerate(rk_codes)
+            ]
+        elif isinstance(sbwt_query, SbwtIndex):
+            ms_vs_query_list = [
+                query_ms_codes(sbwt_query, c)[0] for c in rk_codes
+            ]
+        else:
+            ms_vs_query_list = engine.compute_ms_values_vs_seq(
+                sbwt_query, rk_codes, k
+            )
 
     calls: list[Variant] = []
     for t, i in enumerate(sites):

@@ -115,8 +115,9 @@ def test_delta_run_reconstruction():
         jnp.asarray(chars), jnp.asarray(ref), jnp.asarray(lengths),
         jnp.asarray(pp), jnp.asarray(pv), True,
     )
-    n_runs = int(np.asarray(counts)[0])
-    delta = np.asarray(fetch_delta_runs(rs, re_, rv, max(n_runs, 1)))
+    delta = np.asarray(fetch_delta_runs(counts, rs, re_, rv, 256))
+    n_runs = int(delta[3, 0])
+    assert n_runs <= 256
 
     # host expectation: apply patches then relative_to_ref per row
     from kbo_tpu.ops.format import relative_to_ref
