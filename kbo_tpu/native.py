@@ -60,6 +60,25 @@ def _load():
         i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u8p,
     ]
     lib.kbo_translate.restype = None
+    lib.kbo_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32]
+    lib.kbo_build.restype = ctypes.c_int64
+    lib.kbo_build_export.argtypes = [u32p, i32p, i32p, u8p, i64p]
+    lib.kbo_build_export.restype = None
+    lib.kbo_fill_gaps.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, u8p, u8p, i64p,
+        u32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double,
+    ]
+    lib.kbo_fill_gaps.restype = None
+    lib.kbo_call_variants.argtypes = [
+        i32p, i64p, i64p, u8p, ctypes.c_int64,
+        u8p, i64p, u32p, i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+        u32p, i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        i64p, i32p, i32p, u8p, u8p, ctypes.c_int64,
+    ]
+    lib.kbo_call_variants.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -111,3 +130,107 @@ def translate(derand_ms: np.ndarray, k: int, threshold: int) -> np.ndarray:
     out = np.zeros(d.size, dtype=np.uint8)  # zero-init: translate reads ahead
     lib.kbo_translate(d, d.size, k, threshold, out)
     return out
+
+
+def build_arrays(codes: np.ndarray, k: int):
+    """Single-core C++ SBWT construction (sorted 3-bit colex keys, k <= 63).
+
+    Returns a dict of (bits, cum, C, lcs, row_pos, text, n_rows, n_words) --
+    the rank-query arrays kbo_ms_stream consumes. Mirrors the reference's
+    build-inside-call (src/lib.rs:553) for the native end-to-end baseline.
+    """
+    lib = _load()
+    assert lib is not None
+    from kbo_tpu.index.encode import split_segments
+
+    parts = []
+    for seg in split_segments(np.asarray(codes, dtype=np.uint8)):
+        parts.append(np.zeros(k, dtype=np.uint8))
+        parts.append(seg)
+    buf = np.ascontiguousarray(np.concatenate(parts))
+    n_rows = int(lib.kbo_build(buf, buf.size, k))
+    assert n_rows > 0, "native build failed (k > 63?)"
+    n_words = n_rows // 32 + 1
+    bits = np.zeros(4 * n_words, dtype=np.uint32)
+    cum = np.zeros(4 * n_words, dtype=np.int32)
+    C = np.zeros(4, dtype=np.int32)
+    lcs = np.zeros(n_rows, dtype=np.uint8)
+    row_pos = np.zeros(n_rows, dtype=np.int64)
+    lib.kbo_build_export(bits, cum, C, lcs, row_pos)
+    return {
+        "bits": bits, "cum": cum, "C": C, "lcs": lcs, "row_pos": row_pos,
+        "text": buf, "n_rows": n_rows, "n_words": n_words,
+    }
+
+
+def map_e2e(index, ref_seq: bytes, threshold: int, max_error_prob: float):
+    """Single-core end-to-end `kbo map` (the bench denominator): streaming
+    MS -> derandomize -> translate -> gap fill -> variant call (builds the
+    inner reference index, reference: src/lib.rs:553) -> add_variants ->
+    relative_to_ref. All sequential native code plus trivial numpy glue.
+    Returns (output bytes, n_variants).
+    """
+    import math
+
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.ops import translate as tr
+    from kbo_tpu.ops.format import relative_to_ref
+    from kbo_tpu.refine.variant_calling import Variant
+
+    lib = _load()
+    assert lib is not None
+    k = index.k
+    codes = np.ascontiguousarray(encode_ascii(bytes(ref_seq)))
+    n = codes.size
+    ms32 = np.empty(n, dtype=np.int32)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    bits = np.ascontiguousarray(index.bits.reshape(-1))
+    cum = np.ascontiguousarray(index.cum.reshape(-1))
+    C = np.ascontiguousarray(index.C)
+    lcs = np.ascontiguousarray(index.lcs)
+    lib.kbo_ms_stream(
+        bits, cum, C, lcs, index.n_rows, index.n_words, k,
+        codes, n, ms32, lo, hi,
+    )
+    derand = np.empty(n, dtype=np.int64)
+    lib.kbo_derandomize(ms32, n, k, threshold, derand)
+    chars = np.zeros(n, dtype=np.uint8)
+    lib.kbo_translate(derand, n, k, threshold, chars)
+
+    text = np.ascontiguousarray(index.text)
+    row_pos = np.ascontiguousarray(index.row_pos)
+    lib.kbo_fill_gaps(
+        chars, n, lo, hi, codes, text, row_pos,
+        bits, cum, C, index.n_rows, index.n_words, k, threshold,
+        math.log1p(-max_error_prob),
+    )
+
+    inner = build_arrays(codes, k)
+    cap = max(1024, n // 64)
+    pos = np.zeros(cap, dtype=np.int64)
+    qlen = np.zeros(cap, dtype=np.int32)
+    rlen = np.zeros(cap, dtype=np.int32)
+    qch = np.zeros(cap * k, dtype=np.uint8)
+    rch = np.zeros(cap * k, dtype=np.uint8)
+    cnt = int(
+        lib.kbo_call_variants(
+            ms32, lo, hi, codes, n,
+            text, row_pos, bits, cum, C, lcs,
+            index.n_rows, index.n_words,
+            inner["bits"], inner["cum"], inner["C"], inner["lcs"],
+            inner["n_rows"], inner["n_words"], k, threshold,
+            pos, qlen, rlen, qch, rch, cap,
+        )
+    )
+    variants = [
+        Variant(
+            query_pos=int(pos[t]),
+            query_chars=qch[t * k : t * k + qlen[t]].tobytes(),
+            ref_chars=rch[t * k : t * k + rlen[t]].tobytes(),
+        )
+        for t in range(cnt)
+    ]
+    refined = [chr(c) for c in chars]
+    refined = tr.add_variants(refined, variants)
+    return relative_to_ref(ref_seq, refined), cnt
