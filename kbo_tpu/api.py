@@ -308,6 +308,9 @@ def _map_batch_sparse(
     Q, L = codes.shape
 
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        # retained: the sparse interval probes gather their windows from
+        # this device-resident copy instead of uploading window matrices
+        codes_dev = jnp.asarray(codes)
         (
             chars_dev,
             ms_dev,
@@ -318,7 +321,7 @@ def _map_batch_sparse(
         ) = map_sweep_compact(
             dev.keys2,
             dev.cap2,
-            jnp.asarray(codes),
+            codes_dev,
             jnp.asarray(lengths),
             k,
             jnp.int32(threshold),
@@ -356,9 +359,11 @@ def _map_batch_sparse(
             )
         )
         ivals = engine.SparseIntervals(
-            query_sbwt, code_list[q], ms=ms_dev[q]
+            query_sbwt, code_list[q], ms=ms_dev[q], dev_codes=codes_dev[q]
         )
         # both refinement layers' interval reads, prefetched as ONE probe
+        # (for the variant caller only the first 8-offset anchor round --
+        # stragglers fetch further rounds lazily)
         probe_parts = []
         if opts.fill_gaps and runs:
             probe_parts.append(
@@ -366,7 +371,7 @@ def _map_batch_sparse(
             )
         if opts.call_variants and drops.size:
             cand = np.unique(
-                (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
+                (drops[:, None] + np.arange(1, 9)[None, :]).reshape(-1)
             )
             probe_parts.append(cand[cand < n_ref])
         if probe_parts:

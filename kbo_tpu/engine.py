@@ -126,6 +126,7 @@ def compute_ms_intervals_at(
     codes: np.ndarray,
     positions: np.ndarray,
     ms: np.ndarray | None = None,
+    dev_codes=None,
 ):
     """MS values + colex intervals at a sparse set of query positions.
 
@@ -156,6 +157,7 @@ def compute_ms_intervals_at(
 
     from kbo_tpu.kernels.ms import (
         INVALID,
+        _intervals3_pos_jit,
         _intervals3_windows_jit,
         _intervals3_windows_msrow_jit,
     )
@@ -166,15 +168,29 @@ def compute_ms_intervals_at(
         from kbo_tpu.kernels.ms import query_ms_values_device
 
         ms = query_ms_values_device(dev, codes)
+    P = positions.size
+    Pb = 64
+    while Pb < P:
+        Pb <<= 1
+    if dev_ms and dev_codes is not None:
+        # fully device-side probe: windows gathered from the resident code
+        # row, ms from the resident ms row; host traffic = positions up,
+        # one stacked int32 [3, Pb] down
+        pos32 = np.zeros(Pb, dtype=np.int32)
+        pos32[:P] = positions
+        out = np.asarray(
+            _intervals3_pos_jit(
+                dev.keys3, dev_codes, ms, jnp.asarray(pos32), k
+            ),
+            dtype=np.int64,
+        )
+        iv = np.stack([out[0, :P], out[1, :P]], axis=1)
+        return out[2, :P], iv
     # window matrix on host (host-side gathers are cheap)
     padded = np.full(codes.size + k - 1, INVALID, dtype=np.uint8)
     padded[k - 1 :] = codes
     offs = positions[:, None] + np.arange(k, dtype=np.int64)[None, :]
     windows = padded[offs]  # [P, k]; row p = codes[pos-k+1 ..= pos]
-    P = positions.size
-    Pb = 64
-    while Pb < P:
-        Pb <<= 1
     if Pb != P:
         windows = np.concatenate(
             [windows, np.full((Pb - P, k), INVALID, dtype=np.uint8)]
@@ -212,58 +228,74 @@ class SparseIntervals:
     prefetch call); reading an unfetched position raises.
     """
 
-    def __init__(self, index: SbwtIndex, codes: np.ndarray, ms=None):
+    def __init__(self, index: SbwtIndex, codes: np.ndarray, ms=None,
+                 dev_codes=None):
         self._index = index
         self._codes = np.asarray(codes)
         # ms may be a host array OR a device-resident jax row (int32 [L],
-        # query coordinates) that is never downloaded in full
+        # query coordinates) that is never downloaded in full; dev_codes a
+        # device-resident code row enabling on-device window assembly
         self._ms = ms
-        self._cache: dict[int, tuple[int, int, int]] = {}
+        self._dev_codes = dev_codes
+        # sorted-array cache (dict-of-int caching cost ~seconds at 10^5
+        # refinement probes): _pos sorted positions, _val [n, 3] = (l, r, ms)
+        self._pos = np.zeros(0, dtype=np.int64)
+        self._val = np.zeros((0, 3), dtype=np.int64)
 
     def __len__(self) -> int:
         return self._codes.size
 
     def prefetch(self, positions) -> None:
-        positions = np.asarray(
-            [p for p in np.atleast_1d(positions) if p not in self._cache],
-            dtype=np.int64,
-        )
+        positions = np.unique(np.atleast_1d(
+            np.asarray(positions, dtype=np.int64)
+        ))
+        if self._pos.size:
+            loc = np.searchsorted(self._pos, positions)
+            loc_c = np.minimum(loc, self._pos.size - 1)
+            positions = positions[self._pos[loc_c] != positions]
         if positions.size == 0:
             return
         ms_at, iv = compute_ms_intervals_at(
-            self._index, self._codes, positions, ms=self._ms
+            self._index, self._codes, positions, ms=self._ms,
+            dev_codes=self._dev_codes,
         )
-        for p, (l, r), m in zip(
-            positions.tolist(), iv.tolist(), np.asarray(ms_at).tolist()
+        new_val = np.concatenate(
+            [iv, np.asarray(ms_at, dtype=np.int64)[:, None]], axis=1
+        )
+        if self._pos.size:
+            ins = np.searchsorted(self._pos, positions)
+            self._pos = np.insert(self._pos, ins, positions)
+            self._val = np.insert(self._val, ins, new_val, axis=0)
+        else:
+            self._pos = positions
+            self._val = new_val
+
+    def _lookup(self, positions) -> np.ndarray:
+        loc = np.searchsorted(self._pos, positions)
+        if positions.size and (
+            loc.max(initial=0) >= self._pos.size
+            or not np.array_equal(self._pos[loc], positions)
         ):
-            self._cache[p] = (l, r, int(m))
+            raise KeyError("interval positions were not prefetched")
+        return loc
 
     def __getitem__(self, key):
         pos, col = key
-        entry = self._cache.get(int(pos))
-        if entry is None:
-            raise KeyError(
-                f"interval at position {pos} was not prefetched"
-            )
-        return entry[int(col)]
+        loc = self._lookup(np.asarray([pos], dtype=np.int64))
+        return int(self._val[loc[0], int(col)])
 
     def get_batch(self, positions) -> np.ndarray:
         """[P, 2] interval array for `positions` (prefetching the misses)."""
         positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
         self.prefetch(positions)
-        out = np.empty((positions.size, 2), dtype=np.int64)
-        for i, p in enumerate(positions.tolist()):
-            out[i] = self._cache[p][:2]
-        return out
+        return self._val[self._lookup(positions), :2]
 
     def get_ms_batch(self, positions) -> np.ndarray:
         """MS values at `positions` (prefetching the misses) -- lets the
         refinement layers read sparse MS without a full-vector download."""
         positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
         self.prefetch(positions)
-        return np.asarray(
-            [self._cache[int(p)][2] for p in positions], dtype=np.int64
-        )
+        return self._val[self._lookup(positions), 2]
 
 
 def compute_ms_values_vs_seq(

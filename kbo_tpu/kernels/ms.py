@@ -465,7 +465,33 @@ def _intervals3_windows_msrow_jit(keys3, windows, ms_row, pos, k):
     """
     ms_at = ms_row[jnp.minimum(pos, jnp.int32(ms_row.shape[0] - 1))]
     l, r = intervals3_windows_core(keys3, windows, ms_at, k)
-    return jnp.stack([l, r, ms_at.astype(l.dtype)])
+    return jnp.stack(
+        [l.astype(jnp.int32), r.astype(jnp.int32), ms_at.astype(jnp.int32)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _intervals3_pos_jit(keys3, codes_row, ms_row, pos, k):
+    """Sparse interval probe with DEVICE-side window assembly.
+
+    codes_row: uint8 [L] the query-coordinate code row already resident on
+    device (the map sweep uploaded it); pos: int32 [Pb] query positions.
+    The [Pb, k] window matrix is gathered on device (one static gather),
+    so the host uploads Pb positions instead of Pb*k window bytes and the
+    fetch is one stacked int32 [3, Pb] (l, r, ms_at).
+    """
+    ms_at = ms_row[jnp.minimum(pos, jnp.int32(ms_row.shape[0] - 1))]
+    offs = jnp.arange(k, dtype=jnp.int32)[None, :] - jnp.int32(k - 1)
+    idx = pos[:, None] + offs
+    windows = jnp.where(
+        idx >= 0,
+        codes_row[jnp.maximum(idx, 0)],
+        jnp.uint8(INVALID),
+    )
+    l, r = intervals3_windows_core(keys3, windows, ms_at, k)
+    return jnp.stack(
+        [l.astype(jnp.int32), r.astype(jnp.int32), ms_at.astype(jnp.int32)]
+    )
 
 
 def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):

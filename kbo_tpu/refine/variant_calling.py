@@ -174,27 +174,53 @@ def call_variants(
 
     # phase 2: first anchor j in (i, i+k] with ms[j] >= d and a unique
     # interval. Intervals are only needed at the candidate anchor windows, so
-    # they are computed sparsely (one batched device call) rather than for
-    # the whole sequence (SURVEY §7.3 two-phase sparse refinement).
-    cand = np.unique(
-        (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
-    )
-    cand = cand[cand < n]
+    # they are computed sparsely (SURVEY §7.3 two-phase sparse refinement).
+    anchor = np.full(drops.size, -1, dtype=np.int64)
     if ivals is not None:
-        cand_iv = ivals.get_batch(cand)
-        cand_ms = ms[cand] if ms is not None else ivals.get_ms_batch(cand)
+        # round-based: almost every drop anchors within a few positions (MS
+        # recovers right after the variant), so probing all k offsets per
+        # drop wastes ~k/8 of the probe traffic; take 8-offset rounds and
+        # continue only for the unresolved stragglers
+        pending = np.arange(drops.size)
+        for off0 in range(1, k + 1, 8):
+            offs = np.arange(off0, min(off0 + 8, k + 1), dtype=np.int64)
+            j = drops[pending][:, None] + offs[None, :]
+            valid = j < n
+            pos = np.unique(j[valid])
+            if pos.size == 0:
+                break
+            iv = ivals.get_batch(pos)
+            msb = ivals.get_ms_batch(pos)
+            ok_at = (msb >= d) & (iv[:, 1] - iv[:, 0] == 1)
+            loc = np.searchsorted(pos, np.minimum(j, pos[-1]))
+            good = (
+                valid
+                & ok_at[np.minimum(loc, ok_at.size - 1)]
+                & (pos[np.minimum(loc, pos.size - 1)] == j)
+            )
+            has = good.any(axis=1)
+            first = np.argmax(good, axis=1)
+            anchor[pending[has]] = np.take_along_axis(
+                j, first[:, None], axis=1
+            ).ravel()[has]
+            pending = pending[~has]
+            if pending.size == 0:
+                break
     else:
+        cand = np.unique(
+            (drops[:, None] + np.arange(1, k + 1)[None, :]).reshape(-1)
+        )
+        cand = cand[cand < n]
         cand_ms, cand_iv = engine.compute_ms_intervals_at(
             sbwt_ref, codes, cand, ms=ms
         )
-    good_c = (cand_ms >= d) & (cand_iv[:, 1] - cand_iv[:, 0] == 1)
-    anchor = np.full(drops.size, -1, dtype=np.int64)
-    for off in range(1, k + 1):
-        j = drops + off
-        m = (anchor < 0) & (j < n)
-        cidx = np.searchsorted(cand, j[m])
-        m[m] = good_c[cidx]
-        anchor[m] = j[m]
+        good_c = (cand_ms >= d) & (cand_iv[:, 1] - cand_iv[:, 0] == 1)
+        for off in range(1, k + 1):
+            j = drops + off
+            m = (anchor < 0) & (j < n)
+            cidx = np.searchsorted(cand, j[m])
+            m[m] = good_c[cidx]
+            anchor[m] = j[m]
     sel = anchor >= 0
     sites = drops[sel]
     anchors = anchor[sel]
@@ -202,7 +228,10 @@ def call_variants(
         return []
 
     # phase 3: batched k-mer extraction + batched bidirectional k-mer MS
-    anchor_rows = cand_iv[np.searchsorted(cand, anchors), 0]
+    if ivals is not None:
+        anchor_rows = ivals.get_batch(anchors)[:, 0]
+    else:
+        anchor_rows = cand_iv[np.searchsorted(cand, anchors), 0]
     ref_kmers_codes = sbwt_ref.access_kmers_codes(anchor_rows)
     query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
