@@ -135,6 +135,7 @@ def call(
     noisy_ms=None,
     ivals=None,
     drops=None,
+    mesh=None,
 ) -> list[variant_calling.Variant]:
     """Call variants between a query index and a reference sequence
     (reference: src/lib.rs:547-573).
@@ -181,6 +182,7 @@ def call(
             noisy_ms=noisy_ms,
             ivals=ivals,
             drops=drops,
+            mesh=mesh,
         )
     get_stats().add("variants_called", len(variants))
     return variants
@@ -256,6 +258,7 @@ def map_batch(
     ref_seqs: list[bytes],
     query_sbwt: SbwtIndex,
     map_opts: MapOpts | None = None,
+    mesh=None,
 ) -> list[bytes]:
     """Batched :func:`map_` over many reference contigs.
 
@@ -279,12 +282,16 @@ def map_batch(
         os.environ.get("KBO_TPU_BACKEND", "auto") != "host"
         and os.environ.get("KBO_TPU_MAP_DENSE", "0") != "1"
     ):
-        return _map_batch_sparse(ref_seqs, query_sbwt, opts)
+        return _map_batch_sparse(ref_seqs, query_sbwt, opts, mesh=mesh)
+    assert mesh is None, "the dense/host map path is single-device"
     return _map_batch_dense(ref_seqs, query_sbwt, opts)
 
 
 def _map_batch_sparse(
-    ref_seqs: list[bytes], query_sbwt: SbwtIndex, opts: MapOpts
+    ref_seqs: list[bytes],
+    query_sbwt: SbwtIndex,
+    opts: MapOpts,
+    mesh=None,
 ) -> list[bytes]:
     import jax.numpy as jnp
 
@@ -305,27 +312,50 @@ def _map_batch_sparse(
     dev = engine.device_index(query_sbwt)
     code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
     codes, lengths = pad_batch(code_list, bucket=True)
+    if mesh is not None:
+        nd = mesh.devices.size
+        Qp = ((codes.shape[0] + nd - 1) // nd) * nd
+        if Qp != codes.shape[0]:
+            from kbo_tpu.kernels.ms import INVALID as _INV
+
+            codes = np.pad(
+                codes, ((0, Qp - codes.shape[0]), (0, 0)),
+                constant_values=_INV,
+            )
+            lengths = np.pad(lengths, (0, Qp - lengths.size))
     Q, L = codes.shape
 
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
-        # retained: the sparse interval probes gather their windows from
-        # this device-resident copy instead of uploading window matrices
-        codes_dev = jnp.asarray(codes)
-        (
-            chars_dev,
-            ms_dev,
-            counts_dev,
-            drop_pos_dev,
-            gap_start_dev,
-            gap_end_dev,
-        ) = map_sweep_compact(
-            dev.keys2,
-            dev.cap2,
-            codes_dev,
-            jnp.asarray(lengths),
-            k,
-            jnp.int32(threshold),
-        )
+        if mesh is not None:
+            from kbo_tpu.parallel.mesh import map_sweep_compact_sharded
+
+            codes_dev, (
+                chars_dev,
+                ms_dev,
+                counts_dev,
+                drop_pos_dev,
+                gap_start_dev,
+                gap_end_dev,
+            ) = map_sweep_compact_sharded(dev, codes, lengths, threshold, mesh)
+        else:
+            # retained: the sparse interval probes gather their windows
+            # from this device-resident copy instead of uploading windows
+            codes_dev = jnp.asarray(codes)
+            (
+                chars_dev,
+                ms_dev,
+                counts_dev,
+                drop_pos_dev,
+                gap_start_dev,
+                gap_end_dev,
+            ) = map_sweep_compact(
+                dev.keys2,
+                dev.cap2,
+                codes_dev,
+                jnp.asarray(lengths),
+                k,
+                jnp.int32(threshold),
+            )
         # optimistic single fetch: counts ride along with guess-capacity
         # candidate slices; only a denser-than-1-per-512-bases input pays a
         # second exactly-sized fetch
@@ -400,6 +430,7 @@ def _map_batch_sparse(
                 ),
                 ivals=ivals,
                 drops=drops,
+                mesh=mesh,
             )
             for pos, ch in translate.variant_patches(variants):
                 patches[pos] = ch

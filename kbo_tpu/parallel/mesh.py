@@ -161,3 +161,94 @@ def matches_long_sharded(
         out_chars[s:e] = chars[i, off : off + (e - s)]
         out_ms[s:e] = ms[i, off : off + (e - s)]
     return out_chars, out_ms
+
+
+# ------------------------------------------------- sharded map (sparse path)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_map_sweep(keys2, cap2, codes, lengths, k: int, threshold, mesh):
+    from kbo_tpu.kernels.mapsweep import map_sweep_compact_core
+
+    fn = jax.shard_map(
+        lambda k2, c2, co, le, th: map_sweep_compact_core(
+            k2, c2, co, le, k, th
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P()),
+        out_specs=(
+            P("data"), P("data"), P("data"), P("data"), P("data"), P("data")
+        ),
+        check_vma=False,
+    )
+    return fn(keys2, cap2, codes, lengths, threshold)
+
+
+def map_sweep_compact_sharded(dev, codes, lengths, threshold, mesh: Mesh):
+    """Data-parallel fused map sweep + candidate compaction over a mesh.
+
+    Contigs shard over the ``data`` axis (replicated index tables); the
+    compaction is row-local, so per-shard outputs concatenate in input
+    order -- bit-identical to the single-device sweep. The caller must pad
+    the contig batch to a multiple of the mesh size.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    codes_dev = jax.device_put(jnp.asarray(codes), shard)
+    return codes_dev, _sharded_map_sweep(
+        jax.device_put(dev.keys2, repl),
+        jax.device_put(dev.cap2, repl),
+        codes_dev,
+        jax.device_put(jnp.asarray(lengths), shard),
+        dev.k,
+        jnp.int32(threshold),
+        mesh,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_ms2_batch(keys2, cap2, buf2d, k: int, mesh):
+    from kbo_tpu.kernels.ms import ms2_core
+
+    fn = jax.shard_map(
+        lambda k2, c2, b: ms2_core(k2, c2, b.reshape(-1), k).reshape(
+            b.shape
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(keys2, cap2, buf2d)
+
+
+def ms_values_many_sharded(
+    index: SbwtIndex, code_list: list[np.ndarray], mesh: Mesh
+):
+    """Data-parallel batched short-query MS (the variant caller's
+    per-candidate k-mer re-runs, sharded over the ``data`` axis)."""
+    from kbo_tpu.engine import device_index
+    from kbo_tpu.kernels.ms import INVALID as _INV
+
+    dev = device_index(index)
+    k = dev.k
+    codes, _ = pad_batch(code_list)
+    Q, L = codes.shape
+    n = mesh.devices.size
+    Qp = ((Q + n - 1) // n) * n
+    if Qp != Q:
+        codes = np.pad(codes, ((0, Qp - Q), (0, 0)), constant_values=_INV)
+    buf = np.concatenate(
+        [np.full((Qp, k - 1), _INV, np.uint8), codes], axis=1
+    )
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    ms = _sharded_ms2_batch(
+        jax.device_put(dev.keys2, repl),
+        jax.device_put(dev.cap2, repl),
+        jax.device_put(jnp.asarray(buf), shard),
+        k,
+        mesh,
+    )
+    ms = np.asarray(ms[:, k - 1 :], dtype=np.int64)
+    return [ms[i, : c.size] for i, c in enumerate(code_list)]

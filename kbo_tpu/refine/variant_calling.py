@@ -128,6 +128,7 @@ def call_variants(
     noisy_ms: np.ndarray | None = None,
     ivals=None,
     drops: np.ndarray | None = None,
+    mesh=None,
 ) -> list[Variant]:
     """Call all variants between `query` and the reference index.
 
@@ -236,6 +237,26 @@ def call_variants(
     query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
     qk_codes = [encode_ascii(qk) for qk in query_kmers]
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
+    if mesh is not None:
+        # data-parallel candidate re-runs over the mesh (BASELINE
+        # configs[4]: batched multi-query mapping); deterministic input-
+        # order merge inside ms_values_many_sharded
+        from kbo_tpu.parallel.mesh import ms_values_many_sharded
+
+        ms_vs_ref_list = ms_values_many_sharded(sbwt_ref, qk_codes, mesh)
+        if isinstance(sbwt_query, SbwtIndex):
+            ms_vs_query_list = ms_values_many_sharded(
+                sbwt_query, rk_codes, mesh
+            )
+        else:
+            ms_vs_query_list = engine.compute_ms_values_vs_seq(
+                sbwt_query, rk_codes, k
+            )
+        return _resolve_all(
+            sites, anchors, ref_kmers_codes, query_kmers,
+            ms_vs_ref_list, ms_vs_query_list, d,
+        )
+
     # both candidate batches are independent; dispatch both, then pay ONE
     # device fetch for the stacked pair (every fetch is a relay round trip)
     ms_vs_ref_dev = engine.compute_ms_values_many_device(sbwt_ref, qk_codes)
@@ -288,6 +309,18 @@ def call_variants(
             ms_vs_query_list = engine.compute_ms_values_vs_seq(
                 sbwt_query, rk_codes, k
             )
+
+    return _resolve_all(
+        sites, anchors, ref_kmers_codes, query_kmers,
+        ms_vs_ref_list, ms_vs_query_list, d,
+    )
+
+
+def _resolve_all(
+    sites, anchors, ref_kmers_codes, query_kmers,
+    ms_vs_ref_list, ms_vs_query_list, d: int,
+) -> list[Variant]:
+    from kbo_tpu.index.encode import decode_codes
 
     calls: list[Variant] = []
     for t, i in enumerate(sites):

@@ -1,0 +1,57 @@
+"""Mesh-sharded map_batch / call parity (8 virtual CPU devices).
+
+BASELINE configs[4] (batched multi-query mapping with collective merge):
+the sharded sweep + sharded candidate re-runs must match the single-device
+sparse path bit-exactly, in input order.
+"""
+
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, CallOpts, MapOpts, build
+from kbo_tpu import api
+from kbo_tpu.parallel.mesh import make_mesh
+
+
+def _pair(seed, n):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    q = bytearray(ref)
+    for pos in range(700, n - 700, 900):
+        q[pos] = bases[(bases.tolist().index(q[pos]) + 1) % 4]
+    del q[n // 2 : n // 2 + 2]
+    return ref, bytes(q)
+
+
+@pytest.fixture(scope="module")
+def built():
+    ref, query = _pair(9, 30000)
+    bo = BuildOpts(k=51, build_select=True)
+    return ref, build([query], bo), bo
+
+
+def test_map_batch_sharded_parity(built):
+    ref, sbwt, bo = built
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    # 5 contigs over 8 devices: exercises padding rows too
+    refs = [ref[:7000], ref[7000:13000], ref[13000:20000],
+            ref[20000:26000], ref[26000:]]
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    single = api.map_batch(refs, sbwt, mo)
+    sharded = api.map_batch(refs, sbwt, mo, mesh=mesh)
+    assert sharded == single
+
+
+def test_call_sharded_parity(built):
+    ref, sbwt, bo = built
+    co = CallOpts(max_error_prob=1e-7, sbwt_build_opts=bo)
+    mesh = make_mesh()
+    single = api.call(sbwt, ref, co)
+    sharded = api.call(sbwt, ref, co, mesh=mesh)
+    assert [(v.query_pos, v.query_chars, v.ref_chars) for v in sharded] == [
+        (v.query_pos, v.query_chars, v.ref_chars) for v in single
+    ]
+    assert len(single) > 0
