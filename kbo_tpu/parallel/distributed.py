@@ -31,8 +31,10 @@ def initialize_from_env() -> bool:
     """
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: must not touch the backend (jax.devices / process_count) before
+    # jax.distributed.initialize -- backend init pins single-process mode
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return False

@@ -36,6 +36,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def put_global(mesh: Mesh, spec: P, arr) -> jax.Array:
+    """Place a host array onto a (possibly multi-process) mesh.
+
+    Every process passes the SAME full array; each contributes its
+    addressable shards, which is what a multi-host `device_put` cannot do
+    directly. Single-process this is exactly `device_put`.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_matches(
     keys2, cap2, codes, lengths, k: int, threshold, mesh
@@ -74,20 +90,19 @@ def matches_batch_sharded(
         lengths = np.pad(lengths, (0, Qp - Q))
 
     from kbo_tpu.engine import device_index
+    from kbo_tpu.parallel.distributed import gather_to_host
 
     dev = device_index(index)
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
     chars, ms = _sharded_matches(
-        jax.device_put(dev.keys2, repl),
-        jax.device_put(dev.cap2, repl),
-        jax.device_put(jnp.asarray(codes), shard),
-        jax.device_put(jnp.asarray(lengths), shard),
+        put_global(mesh, P(), dev.keys2),
+        put_global(mesh, P(), dev.cap2),
+        put_global(mesh, P("data"), codes),
+        put_global(mesh, P("data"), lengths),
         dev.k,
         jnp.int32(threshold),
         mesh,
     )
-    chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
+    chars = gather_to_host(chars.astype(jnp.int32)).astype(np.uint8)
     return [chars[i, : c.size] for i, c in enumerate(code_list)]
 
 
@@ -137,21 +152,20 @@ def matches_long_sharded(
         offs[i] = s - lo
 
     from kbo_tpu.engine import device_index
+    from kbo_tpu.parallel.distributed import gather_to_host
 
     dev = device_index(index)
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
     chars, ms = _sharded_matches(
-        jax.device_put(dev.keys2, repl),
-        jax.device_put(dev.cap2, repl),
-        jax.device_put(jnp.asarray(rows), shard),
-        jax.device_put(jnp.asarray(lengths), shard),
+        put_global(mesh, P(), dev.keys2),
+        put_global(mesh, P(), dev.cap2),
+        put_global(mesh, P("data"), rows),
+        put_global(mesh, P("data"), lengths),
         dev.k,
         jnp.int32(threshold),
         mesh,
     )
-    chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
-    ms = np.asarray(ms, dtype=np.int64)
+    chars = gather_to_host(chars.astype(jnp.int32)).astype(np.uint8)
+    ms = gather_to_host(ms).astype(np.int64)
     out_chars = np.empty(L, dtype=np.uint8)
     out_ms = np.empty(L, dtype=np.int64)
     for i in range(n):
