@@ -377,6 +377,7 @@ def _map_batch_sparse(
     patch_pos: list[np.ndarray] = []
     patch_val: list[np.ndarray] = []
     unfilled_bases = 0
+    total_gap_runs = 0
     for q, ref_seq in enumerate(ref_seqs):
         ref_seq = bytes(ref_seq)
         n_ref = len(ref_seq)
@@ -407,6 +408,7 @@ def _map_batch_sparse(
         if probe_parts:
             ivals.prefetch(np.unique(np.concatenate(probe_parts)))
         patches: dict[int, int] = {}
+        total_gap_runs += len(runs)
         clamped_gap_bases = sum(
             max(0, min(e, n_ref - threshold) - s) for s, e in runs
         )
@@ -460,10 +462,10 @@ def _map_batch_sparse(
             jnp.asarray(pv),
             bool(opts.format),
         )
-        # optimistic single fetch: the host knows the patch count and the
-        # unfilled gap volume, so the delta-run count is predictable up to
-        # flank '-' regions (margin below); a miss pays one refetch
-        cap_r = _pow2_cap(n_p + unfilled_bases + L // 256 + 64)
+        # optimistic single fetch: deltas are RUN-encoded, so the count is
+        # bounded by patches (worst case one run each) + gap runs + a small
+        # margin for flank '-' stretches; a miss pays one refetch
+        cap_r = _pow2_cap(n_p + total_gap_runs + 256)
         delta = np.asarray(
             fetch_delta_runs(counts2_dev, rs_dev, re_dev, rv_dev, cap_r)
         )

@@ -101,6 +101,50 @@ def search_codes_batch(
     return l, r
 
 
+def _row_key_bytes(sbwt: SbwtIndex) -> np.ndarray:
+    """Colex row keys as big-endian byte strings (memcmp order == colex
+    order), cached on the index. Enables binary-search membership tests:
+    a length-k pattern's interval is empty or a singleton (all rows are
+    length k), so search reduces to one searchsorted per probe."""
+    cached = getattr(sbwt, "_keys3_bytes", None)
+    if cached is None:
+        w3 = np.ascontiguousarray(np.asarray(sbwt.keys3).T).astype(">u4")
+        cached = w3.view(f"|S{4 * w3.shape[1]}").ravel()
+        sbwt._keys3_bytes = cached
+    return cached
+
+
+def _pack_probe_bytes(probes: np.ndarray, k: int, W3: int) -> np.ndarray:
+    """Pack [P, k] code probes into the index's colex key byte strings."""
+    c = probes.astype(np.uint32)
+    words = np.zeros((probes.shape[0], W3), dtype=np.uint32)
+    for w in range(W3):
+        acc = words[:, w]
+        for j in range(10):
+            t = w * 10 + j
+            if t >= k:
+                break
+            acc |= c[:, k - 1 - t] << np.uint32(27 - 3 * j)
+    return np.ascontiguousarray(words).astype(">u4").view(
+        f"|S{4 * W3}"
+    ).ravel()
+
+
+def _member_rows(sbwt: SbwtIndex, probes: np.ndarray) -> np.ndarray:
+    """Bool [P]: is each length-k probe exactly an index row? Probes
+    containing '$' never match (the oracle's extend() rejects code 0, even
+    though a dummy row with that text exists)."""
+    row_bytes = _row_key_bytes(sbwt)
+    pb = _pack_probe_bytes(probes, sbwt.k, sbwt.keys3.shape[0])
+    loc = np.searchsorted(row_bytes, pb)
+    locc = np.minimum(loc, row_bytes.size - 1)
+    return (
+        (row_bytes[locc] == pb)
+        & (loc < row_bytes.size)
+        & ~(probes == DOLLAR).any(axis=1)
+    )
+
+
 def _left_extend_batch(
     sbwt: SbwtIndex, kmers: np.ndarray, budgets: np.ndarray
 ) -> list[np.ndarray]:
@@ -110,12 +154,47 @@ def _left_extend_batch(
 
     kmers: uint8 [E, K0]; budgets: int64 [E]. Every probe keeps the
     original pattern length K0 (prepend one char, drop the trailing char),
-    so the probed window slides left one step per round. Returns the
-    extended code arrays (length K0 + e_lane).
+    so the probed window slides left one step per round. Probes of length
+    K0 == k match at most one row, so each round is a batched binary
+    search against the packed colex keys (no rank loops); K0 != k falls
+    back to rank probes. Returns the extended code arrays
+    (length K0 + e_lane).
     """
     kmers = np.asarray(kmers, dtype=np.uint8)
     E, K0 = kmers.shape
     budgets = np.asarray(budgets, dtype=np.int64)
+    if K0 == sbwt.k and sbwt.keys3 is not None:
+        prefix = kmers[:, : K0 - 1].copy()
+        prepended: list[list[int]] = [[] for _ in range(E)]
+        active = budgets > 0
+        spent = np.zeros(E, dtype=np.int64)
+        while active.any():
+            lanes = np.flatnonzero(active)
+            P = prefix[lanes]
+            probes = np.empty((4, lanes.size, K0), dtype=np.uint8)
+            for b in range(4):
+                probes[b, :, 0] = b + 1
+                probes[b, :, 1:] = P
+            hit = _member_rows(
+                sbwt, probes.reshape(4 * lanes.size, K0)
+            ).reshape(4, lanes.size)
+            n_hits = hit.sum(axis=0)
+            choice = np.argmax(hit, axis=0)
+            ok = n_hits == 1
+            for i in np.flatnonzero(ok):
+                prepended[lanes[i]].append(int(choice[i]) + 1)
+            good = lanes[ok]
+            prefix[good, 1:] = prefix[good, :-1]
+            prefix[good, 0] = choice[ok] + 1
+            spent[good] += 1
+            active[:] = False
+            active[good] = spent[good] < budgets[good]
+        return [
+            np.concatenate(
+                [np.asarray(prepended[i][::-1], dtype=np.uint8), kmers[i]]
+            )
+            for i in range(E)
+        ]
     prefix = kmers[:, : K0 - 1].copy()  # current first K0-1 codes per lane
     prepended: list[list[int]] = [[] for _ in range(E)]
     active = budgets > 0

@@ -279,9 +279,11 @@ def call_variants(
     ):
         import jax.numpy as jnp
 
+        # MS values are in [0, k] (k <= 255): fetch the stacked pair as
+        # uint8 -- a quarter of the int32 transfer through the relay
         both = np.asarray(
-            jnp.stack([ms_vs_ref_dev, ms_vs_query_dev]), dtype=np.int64
-        )
+            jnp.stack([ms_vs_ref_dev, ms_vs_query_dev]).astype(jnp.uint8),
+        ).astype(np.int64)
         ms_vs_ref_list = [both[0, i, : c.size] for i, c in enumerate(qk_codes)]
         ms_vs_query_list = [
             both[1, i, : c.size] for i, c in enumerate(rk_codes)
