@@ -22,18 +22,24 @@ from kbo_tpu.refine import gap_filling, variant_calling
 from kbo_tpu.utils.stats import get_stats, stage
 
 
-def build_device(seq_data, build_opts: BuildOpts | None = None):
-    """Device-built ephemeral find index (no host SBWT construction).
+def build_device(
+    seq_data, build_opts: BuildOpts | None = None, full: bool = False
+):
+    """Device-built index (no host SBWT construction) -- the TPU-native
+    answer to the reference's construction-dominates-one-shot-runs problem.
 
-    Sorts the sequences' own window keys on device and counts distinct
-    k-mers there; supports :func:`find`/:func:`find_batch` only (map/call
-    refinement needs the full index). The TPU-native answer to the
-    reference's construction-dominates-one-shot-runs problem.
+    Default: an ephemeral find-only index (the sequences' own sorted window
+    keys; supports :func:`find`/:func:`find_batch`). With ``full=True``: a
+    :class:`kbo_tpu.kernels.ms.DeviceFullIndex` -- three on-device radix
+    sorts emit the complete join-table set, so :func:`map_`/:func:`call`
+    run against it too; only scalar metadata is ever fetched.
     """
-    from kbo_tpu.kernels.ms import DeviceSeqIndex
+    from kbo_tpu.kernels.ms import DeviceFullIndex, DeviceSeqIndex
 
     opts = build_opts or BuildOpts()
     seqs = [s.encode() if isinstance(s, str) else bytes(s) for s in seq_data]
+    if full:
+        return DeviceFullIndex(seqs, opts.k, add_revcomp=opts.add_revcomp)
     return DeviceSeqIndex(seqs, opts.k, add_revcomp=opts.add_revcomp)
 
 
@@ -202,7 +208,7 @@ def map_(
 
     opts = map_opts or MapOpts()
     ref_seq = bytes(ref_seq)
-    host = (
+    host = isinstance(query_sbwt, SbwtIndex) and (
         os.environ.get("KBO_TPU_BACKEND", "auto") == "host"
         or len(ref_seq) < 256
     )

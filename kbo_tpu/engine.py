@@ -23,10 +23,15 @@ def _backend() -> str:
     return os.environ.get("KBO_TPU_BACKEND", "auto")
 
 
-def device_index(index: SbwtIndex):
-    """Memoized device-resident sort-join key tables for an index."""
-    from kbo_tpu.kernels.ms import DeviceIndex
+def device_index(index):
+    """Memoized device-resident sort-join key tables for an index.
 
+    A :class:`kbo_tpu.kernels.ms.DeviceFullIndex` already IS its own
+    device-resident table set and passes through."""
+    from kbo_tpu.kernels.ms import DeviceFullIndex, DeviceIndex
+
+    if isinstance(index, DeviceFullIndex):
+        return index
     key = id(index)
     cached = _device_cache.get(key)
     if cached is None or cached[0] is not index:
@@ -41,7 +46,10 @@ def compute_ms(index: SbwtIndex, codes: np.ndarray):
     """(ms, intervals) for an encoded query via the best available backend."""
     codes = np.asarray(codes)
     backend = _backend()
-    if backend == "host" or (backend == "auto" and codes.size < _HOST_CUTOFF):
+    if isinstance(index, SbwtIndex) and (
+        backend == "host"
+        or (backend == "auto" and codes.size < _HOST_CUTOFF)
+    ):
         from kbo_tpu.ops.ms import query_ms_codes
 
         return query_ms_codes(index, codes)
@@ -55,7 +63,10 @@ def compute_ms_values(index: SbwtIndex, codes: np.ndarray):
     """MS values only (no intervals) -- the fast 2-bit join path."""
     codes = np.asarray(codes)
     backend = _backend()
-    if backend == "host" or (backend == "auto" and codes.size < _HOST_CUTOFF):
+    if isinstance(index, SbwtIndex) and (
+        backend == "host"
+        or (backend == "auto" and codes.size < _HOST_CUTOFF)
+    ):
         from kbo_tpu.ops.ms import query_ms_codes
 
         return query_ms_codes(index, codes)[0]
@@ -84,7 +95,9 @@ def compute_ms_values_many_device(index: SbwtIndex, code_list):
         return None
     backend = _backend()
     total = sum(c.size for c in code_list)
-    if backend == "host" or (backend == "auto" and total < _HOST_CUTOFF):
+    if isinstance(index, SbwtIndex) and (
+        backend == "host" or (backend == "auto" and total < _HOST_CUTOFF)
+    ):
         return None
 
     import jax.numpy as jnp
@@ -144,7 +157,7 @@ def compute_ms_intervals_at(
     positions = np.asarray(positions, dtype=np.int64)
     dev_ms = isinstance(ms, jax.Array)
     backend = _backend()
-    if not dev_ms and (
+    if isinstance(index, SbwtIndex) and not dev_ms and (
         backend == "host"
         or (backend == "auto" and positions.size * index.k < _HOST_CUTOFF)
     ):

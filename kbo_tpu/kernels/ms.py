@@ -667,3 +667,186 @@ def ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k: int):
     c = _neighbor_best(list(ref_words), cap, q_words, meta, _common3)
     ms = jnp.minimum(c, jnp.int32(k))
     return ms.reshape(Q, L + k - 1)[:, k - 1 :]
+
+
+# --------------------------------------------- device-built FULL index
+
+
+_SENT = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_full_jit(buf, k):
+    """Full SBWT join-table construction on device.
+
+    buf: uint8 [T] -- k '$' (0) codes before each maximal ACGT segment
+    (tail padding INVALID). Emits the sort-join tables the device query
+    paths consume (keys3 colex w/ sentinel tail, keys2+cap2, row
+    positions) plus the scalar metadata -- everything stays on device
+    except (n_rows, n_kmers, C), because downloading a genome-scale index
+    through a TPU host link costs more than building it.
+
+    Row-set semantics match the host build (kbo_tpu/index/build.py): the
+    distinct k-windows ending at the root '$' (position k-1) and at every
+    ACGT position. Deduplicated duplicates and unselected positions carry
+    sentinel keys that sort last and never join (keys3 sentinel sorts
+    after every probe/ceil; keys2 sentinel rows have cap 0, which the
+    clamped-LCP scan treats as contributing nothing).
+    """
+    T = buf.shape[0]
+    idx = jnp.arange(T, dtype=jnp.int32)
+    valid = (buf >= 1) & (buf <= 4)
+    w3 = pack_windows_3bit(buf, k, pad_chunk=0)
+    last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
+    v = jnp.minimum(jnp.int32(k), idx - last_bad)
+    selected = valid | (idx == k - 1)
+    w3s = [jnp.where(selected, w, _SENT) for w in w3]
+
+    # sort 1: colex order (sentinels last); payloads ride along
+    ops = _radix_sort(list(w3s) + [idx, v], w3_for_k(k))
+    sw, spos, sv = ops[: w3_for_k(k)], ops[w3_for_k(k)], ops[w3_for_k(k) + 1]
+
+    is_sent = sw[0] == _SENT
+    same_as_prev = jnp.ones(T, dtype=bool)
+    for w in sw:
+        prev = jnp.concatenate([w[:1] ^ jnp.uint32(1), w[:-1]])
+        same_as_prev = same_as_prev & (w == prev)
+    keep = ~is_sent & ~same_as_prev
+
+    n_rows = jnp.sum(keep, dtype=jnp.int32)
+    n_kmers = jnp.sum(keep & (sv == jnp.int32(k)), dtype=jnp.int32)
+    top = sw[0] >> jnp.uint32(27)
+    C = jnp.stack(
+        [
+            jnp.sum(keep & (top <= jnp.uint32(b)), dtype=jnp.int32)
+            for b in range(4)
+        ]
+    )
+
+    # sort 2: push deduplicated duplicates to the sentinel tail (stable;
+    # kept keys are distinct, so their colex order is preserved)
+    w3k = [jnp.where(keep, w, _SENT) for w in sw]
+    ops2 = _radix_sort(list(w3k) + [jnp.where(keep, spos, jnp.int32(-1)),
+                                    jnp.where(keep, sv, 0)], w3_for_k(k))
+    keys3 = jnp.stack(ops2[: w3_for_k(k)])
+    row_pos = ops2[w3_for_k(k)]
+    row_v = ops2[w3_for_k(k) + 1]
+
+    # keys2/cap2: 2-bit keys of the kept rows, gathered by position and
+    # sorted; sentinel rows get cap 0 (inert in the clamped-LCP scan)
+    w2_all, _ = pack_windows_2bit(buf, k)
+    kept2 = row_pos >= 0
+    posc = jnp.maximum(row_pos, 0)
+    w2g = [
+        jnp.where(kept2, w[posc], _SENT) for w in w2_all
+    ]
+    cap = jnp.where(kept2, jnp.minimum(row_v, k), 0).astype(jnp.int32)
+    ops3 = _radix_sort(list(w2g) + [cap], w2_for_k(k))
+    keys2 = jnp.stack(ops3[: w2_for_k(k)])
+    cap2 = ops3[w2_for_k(k)]
+
+    meta = jnp.concatenate([jnp.stack([n_rows, n_kmers]), C])
+    return keys3, row_pos, keys2, cap2, meta
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _member_widths_jit(keys3, windows, k):
+    """Colex interval widths of full-length [P, k] probe windows (0 or 1:
+    rows are distinct length-k strings). Membership test for the gap
+    filler's left extension against a device-resident index."""
+    P = windows.shape[0]
+    ms = jnp.full((P,), k, dtype=jnp.int32)
+    l, r = intervals3_windows_core(keys3, windows, ms, k)
+    return (r - l).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_i32_jit(arr, pos):
+    return arr[jnp.maximum(pos, 0)]
+
+
+class DeviceFullIndex:
+    """A fully device-built, device-resident SBWT index.
+
+    Supports the complete device query surface (find/matches/map/call):
+    the sort-join value path (keys2/cap2), sparse interval probes and
+    membership search (keys3), and k-mer extraction (row positions
+    gathered on device + host text slice). The rank-bitvector form
+    (bits/cum) is never materialized -- nothing in the device execution
+    model uses rank queries, and downloading genome-scale tables through
+    the host link costs more than this build. Construction is 3 radix
+    sorts on device (reference build path: src/index.rs:56-99).
+    """
+
+    def __init__(self, seqs: list[bytes], k: int, add_revcomp: bool = False):
+        from kbo_tpu.index.encode import (
+            encode_ascii,
+            revcomp_ascii,
+            split_segments,
+        )
+
+        assert 1 < k < 64
+        parts = []
+        for s in seqs:
+            s = bytes(s)
+            segs = split_segments(encode_ascii(s))
+            if add_revcomp:
+                segs += split_segments(encode_ascii(revcomp_ascii(s)))
+            for seg in segs:
+                parts.append(np.zeros(k, dtype=np.uint8))
+                parts.append(seg)
+        assert parts, "cannot build an index from empty input"
+        text = np.concatenate(parts)
+        T = _bucket(text.size)
+        buf = np.full(T, INVALID, dtype=np.uint8)
+        buf[: text.size] = text
+        keys3, row_pos, keys2, cap2, meta = _build_full_jit(
+            jnp.asarray(buf), k
+        )
+        self.keys3 = keys3
+        self.row_pos = row_pos
+        self.keys2 = keys2
+        self.cap2 = cap2
+        self.text = text  # host copy of the construction buffer
+        meta = np.asarray(meta)  # ONE scalar-sized fetch
+        self.n_rows = int(meta[0])
+        self.n_kmers = int(meta[1])
+        self.C = meta[2:6].astype(np.int32)
+        self.k = k
+
+    def alphabet(self) -> bytes:
+        return b"ACGT"
+
+    def access_kmers_codes(self, rows: np.ndarray) -> np.ndarray:
+        """[R, k] code matrix of colex rows: row positions gather on
+        device (small fetch), text slicing on host."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        pos = np.asarray(
+            _gather_i32_jit(self.row_pos, jnp.asarray(rows, jnp.int32)),
+            dtype=np.int64,
+        )
+        offs = np.arange(-self.k + 1, 1, dtype=np.int64)
+        return self.text[pos[:, None] + offs[None, :]]
+
+    def access_kmer_codes(self, row: int) -> np.ndarray:
+        return self.access_kmers_codes(np.asarray([row]))[0]
+
+    def access_kmer(self, row: int) -> bytes:
+        from kbo_tpu.index.encode import decode_codes
+
+        return decode_codes(self.access_kmer_codes(int(row)))
+
+    def member_widths(self, probes: np.ndarray) -> np.ndarray:
+        """Interval widths (0/1) of [P, k] full-length code probes."""
+        probes = np.asarray(probes, dtype=np.uint8)
+        P = probes.shape[0]
+        Pb = 64
+        while Pb < P:
+            Pb <<= 1
+        if Pb != P:
+            probes = np.concatenate(
+                [probes, np.full((Pb - P, self.k), INVALID, np.uint8)]
+            )
+        w = np.asarray(_member_widths_jit(self.keys3, jnp.asarray(probes),
+                                          self.k))
+        return w[:P]

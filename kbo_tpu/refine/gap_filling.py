@@ -130,19 +130,20 @@ def _pack_probe_bytes(probes: np.ndarray, k: int, W3: int) -> np.ndarray:
     ).ravel()
 
 
-def _member_rows(sbwt: SbwtIndex, probes: np.ndarray) -> np.ndarray:
+def _member_rows(sbwt, probes: np.ndarray) -> np.ndarray:
     """Bool [P]: is each length-k probe exactly an index row? Probes
     containing '$' never match (the oracle's extend() rejects code 0, even
-    though a dummy row with that text exists)."""
+    though a dummy row with that text exists). Host-resident indexes use
+    binary search over cached key bytes; device-built indexes probe on
+    device (kernels.ms.DeviceFullIndex.member_widths)."""
+    no_dollar = ~(probes == DOLLAR).any(axis=1)
+    if not isinstance(sbwt, SbwtIndex):
+        return (sbwt.member_widths(probes) == 1) & no_dollar
     row_bytes = _row_key_bytes(sbwt)
     pb = _pack_probe_bytes(probes, sbwt.k, sbwt.keys3.shape[0])
     loc = np.searchsorted(row_bytes, pb)
     locc = np.minimum(loc, row_bytes.size - 1)
-    return (
-        (row_bytes[locc] == pb)
-        & (loc < row_bytes.size)
-        & ~(probes == DOLLAR).any(axis=1)
-    )
+    return (row_bytes[locc] == pb) & (loc < row_bytes.size) & no_dollar
 
 
 def _left_extend_batch(
@@ -163,6 +164,9 @@ def _left_extend_batch(
     kmers = np.asarray(kmers, dtype=np.uint8)
     E, K0 = kmers.shape
     budgets = np.asarray(budgets, dtype=np.int64)
+    assert K0 == sbwt.k or isinstance(sbwt, SbwtIndex), (
+        "short-pattern extension needs a rank-backed host index"
+    )
     if K0 == sbwt.k and sbwt.keys3 is not None:
         prefix = kmers[:, : K0 - 1].copy()
         prepended: list[list[int]] = [[] for _ in range(E)]
