@@ -111,6 +111,45 @@ def _lexsort_words(words, num_threads: int = 1) -> np.ndarray:
     return np.lexsort(keys)
 
 
+def join_tables_from_packed(
+    w2: list, v: np.ndarray, k: int, num_threads: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """2-bit join table for the sort-join MS engine: ALL rows (real +
+    dummy) sorted by 2-bit key with per-row caps. Inputs are the colex-
+    ordered per-word 2-bit key columns and the real-suffix lengths. Real
+    rows are already 2-bit-sorted (for '$'-free strings the 3-bit colex
+    order IS the 2-bit order); dummies merge in."""
+    n = w2[0].size
+    real = v == k
+    w2r = [w[real] for w in w2]
+    w2d = [w[~real] for w in w2]
+    vd = v[~real]
+    W2 = len(w2)
+    if w2d[0].size == 0:
+        keys2 = np.stack(w2r)
+        cap2 = np.full(n, k, dtype=np.int32)
+    elif W2 <= 2:
+        # exact u64 proxy of the full key for k <= 32; tie placement among
+        # equal keys is irrelevant to the clamped-LCP scan
+        lo_r = w2r[1] if W2 == 2 else np.zeros_like(w2r[0])
+        lo_d = w2d[1] if W2 == 2 else np.zeros_like(w2d[0])
+        proxy_r = (w2r[0].astype(np.uint64) << np.uint64(32)) | lo_r
+        proxy_d = (w2d[0].astype(np.uint64) << np.uint64(32)) | lo_d
+        dorder = np.argsort(proxy_d, kind="stable")
+        ins = np.searchsorted(proxy_r, proxy_d[dorder])
+        keys2 = np.stack(
+            [np.insert(w2r[w], ins, w2d[w][dorder]) for w in range(W2)]
+        )
+        cap2 = np.insert(
+            np.full(w2r[0].size, k, dtype=np.int32), ins, vd[dorder]
+        )
+    else:
+        order2 = _lexsort_words(w2, num_threads)
+        keys2 = np.stack([w[order2] for w in w2])
+        cap2 = v[order2].astype(np.int32)
+    return keys2, cap2
+
+
 def build_index_from_segments(
     segments: list[np.ndarray], k: int, num_threads: int = 1
 ) -> SbwtIndex:
@@ -212,36 +251,7 @@ def build_index_from_segments(
     cum[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
     assert cum.max(initial=0) < 2**31
 
-    # 2-bit join table: ALL rows (real + dummy) sorted by 2-bit key with
-    # per-row caps. Real rows are already 2-bit-sorted (for '$'-free
-    # strings the 3-bit colex order IS the 2-bit order); dummies merge in.
-    real = v == k
-    w2r = [w[real] for w in w2]
-    w2d = [w[~real] for w in w2]
-    vd = v[~real]
-    W2 = len(w2)
-    if w2d[0].size == 0:
-        keys2 = np.stack(w2r)
-        cap2 = np.full(n, k, dtype=np.int32)
-    elif W2 <= 2:
-        # exact u64 proxy of the full key for k <= 32; tie placement among
-        # equal keys is irrelevant to the clamped-LCP scan
-        lo_r = w2r[1] if W2 == 2 else np.zeros_like(w2r[0])
-        lo_d = w2d[1] if W2 == 2 else np.zeros_like(w2d[0])
-        proxy_r = (w2r[0].astype(np.uint64) << np.uint64(32)) | lo_r
-        proxy_d = (w2d[0].astype(np.uint64) << np.uint64(32)) | lo_d
-        dorder = np.argsort(proxy_d, kind="stable")
-        ins = np.searchsorted(proxy_r, proxy_d[dorder])
-        keys2 = np.stack(
-            [np.insert(w2r[w], ins, w2d[w][dorder]) for w in range(W2)]
-        )
-        cap2 = np.insert(
-            np.full(w2r[0].size, k, dtype=np.int32), ins, vd[dorder]
-        )
-    else:
-        order2 = _lexsort_words(w2, num_threads)
-        keys2 = np.stack([w[order2] for w in w2])
-        cap2 = v[order2].astype(np.int32)
+    keys2, cap2 = join_tables_from_packed(w2, v, k, num_threads)
 
     return SbwtIndex(
         k=k,

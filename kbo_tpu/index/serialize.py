@@ -8,16 +8,17 @@ Two on-disk forms:
 
 - ``<prefix>.sbwt`` + ``<prefix>.lcs`` (:func:`serialize_sbwt` /
   :func:`load_sbwt`): the reference's file-pair convention
-  (reference: src/index.rs:128-151): the ``.sbwt`` file starts with a
-  u64-LE length prefix followed by the variant name ``"SubsetMatrix"``,
-  then the index payload; the ``.lcs`` file holds the LCS array. The
-  header parses exactly like the reference's; the payload after it is this
-  package's format (the sbwt crate's internal byte layout is not public --
-  documented deviation, see README "Parity with the reference").
+  (reference: src/index.rs:128-151): a u64-LE length prefix + the variant
+  name ``"SubsetMatrix"`` + the sbwt-crate index payload. The payload is
+  the documented byte layout in :mod:`kbo_tpu.index.sbwt_format` (subset
+  matrix bitvectors + n_kmers/k + prefix lookup table, simple-sds word
+  conventions); loading reconstructs the full index -- join keys, caps,
+  row texts -- from the bitvectors alone. ``load_sbwt`` also still reads
+  the round-1 legacy payload (a zip/npz after the header).
 
 The ``.npz`` checkpoint is the system-of-record (SURVEY §5
-"Checkpoint / resume"); the file pair exists so tooling that expects
-``kbo build``-style ``.sbwt``/``.lcs`` outputs finds them.
+"Checkpoint / resume"); the file pair is the interop surface for tooling
+that expects ``kbo build``-style ``.sbwt``/``.lcs`` outputs.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import struct
 
 import numpy as np
 
+from kbo_tpu.index import sbwt_format
 from kbo_tpu.index.sbwt import SbwtIndex
 
 _FORMAT_VERSION = 3
@@ -83,38 +85,18 @@ _VARIANT = b"SubsetMatrix"
 
 def serialize_sbwt(prefix: str, index: SbwtIndex) -> tuple[str, str]:
     """Write ``<prefix>.sbwt`` + ``<prefix>.lcs`` (reference file-pair
-    convention, src/index.rs:128-151); returns both paths."""
-    sbwt_path, lcs_path = f"{prefix}.sbwt", f"{prefix}.lcs"
-    payload = io.BytesIO()
-    np.savez_compressed(
-        payload,
-        format_version=np.int64(_FORMAT_VERSION),
-        k=np.int64(index.k),
-        n_rows=np.int64(index.n_rows),
-        n_kmers=np.int64(index.n_kmers),
-        bits=index.bits,
-        cum=index.cum,
-        C=index.C,
-        keys2=index.keys2,
-        cap2=index.cap2,
-        keys3=index.keys3,
-        row_pos=index.row_pos,
-        text=index.text,
-    )
-    with open(sbwt_path, "wb") as fh:
-        # u64-LE length prefix + variant name, as the reference writes it
-        fh.write(struct.pack("<Q", len(_VARIANT)))
-        fh.write(_VARIANT)
-        fh.write(payload.getvalue())
-    with open(lcs_path, "wb") as fh:
-        fh.write(struct.pack("<Q", index.lcs.size))
-        fh.write(np.ascontiguousarray(index.lcs, dtype=np.uint8).tobytes())
-    return sbwt_path, lcs_path
+    convention, src/index.rs:128-151) in the documented sbwt-crate byte
+    layout; returns both paths."""
+    return sbwt_format.write_kbo_sbwt(prefix, index)
 
 
 def load_sbwt(prefix: str) -> SbwtIndex:
-    """Load an index written by :func:`serialize_sbwt`
-    (reference: src/index.rs:195-212)."""
+    """Load a ``.sbwt``/``.lcs`` pair (reference: src/index.rs:195-212).
+
+    Reads the documented sbwt-crate byte layout and reconstructs the full
+    index from the bitvectors; falls back to the round-1 legacy payload
+    (npz after the header) for old files.
+    """
     with open(f"{prefix}.sbwt", "rb") as fh:
         (name_len,) = struct.unpack("<Q", fh.read(8))
         variant = fh.read(name_len)
@@ -122,6 +104,11 @@ def load_sbwt(prefix: str) -> SbwtIndex:
             raise ValueError(
                 f"unsupported SBWT variant {variant!r} (expected {_VARIANT!r})"
             )
+        head = fh.read(4)
+    if head[:2] != b"PK":  # zip magic = legacy npz payload
+        return sbwt_format.read_kbo_sbwt(prefix)
+    with open(f"{prefix}.sbwt", "rb") as fh:
+        fh.seek(8 + name_len)
         data = np.load(io.BytesIO(fh.read()))
     with open(f"{prefix}.lcs", "rb") as fh:
         (lcs_len,) = struct.unpack("<Q", fh.read(8))
