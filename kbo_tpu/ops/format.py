@@ -48,52 +48,64 @@ def run_lengths(aln) -> list[RLE]:
 
 
 def run_lengths_gapped(aln, max_gap_len: int) -> list[RLE]:
-    """RLE segments allowing gap runs up to ``max_gap_len`` bases.
+    """RLE segments allowing dash runs up to ``max_gap_len`` bases.
 
-    Exact transliteration of the reference loop, including the trailing-gap
-    back-out behavior (reference: src/format.rs:143-193).
+    Semantics pinned against the reference (src/format.rs:143-193) by the
+    doctest + 512-char fixtures: a segment opens at the first character
+    that is neither ``-`` nor blank and accumulates until a blank, a dash
+    run longer than ``max_gap_len``, or the end of input.  A segment that
+    terminates *inside* a dash run (overflow, or input ending on a gap
+    character) backs that run's open and dash count out of its totals --
+    the run belongs to no segment.
     """
     chars = _as_chars(aln)
     n = len(chars)
-    encodings: list[RLE] = []
-    i = 0
-    match_start = False
-    while i < n:
-        match_start = (chars[i] != "-" and chars[i] != " ") and not match_start
-        if match_start:
-            rle = RLE(start=i)
-            within_gap_bases = 0
-            within_gap_start = False
-            while i < n and chars[i] != " ":
-                c = chars[i]
-                is_true_gap = c == "-"
-                if is_true_gap and not within_gap_start:
-                    within_gap_start = True
-                    rle.gap_opens += 1
-                    within_gap_bases = 0
-                if not is_true_gap and within_gap_start:
-                    within_gap_start = False
-                is_match = c in ("M", "R", "I")
-                is_gap = is_true_gap or c == "D"
-                rle.matches += is_match
-                rle.gap_bases += is_gap
-                rle.mismatches += (not is_match) and (not is_gap)
-                if is_match or not is_gap:
-                    rle.end = i + 1
-                rle.jumps += c == "R" and i > 0 and chars[i - 1] == "R"
-                within_gap_bases += c == "-"
-                i += 1
-                if within_gap_bases > max_gap_len or (
-                    is_gap and i == n and rle.gap_opens > 0
-                ):
-                    rle.gap_opens -= 1
-                    rle.gap_bases -= within_gap_bases
-                    break
-            encodings.append(rle)
-            match_start = False
-        else:
-            i += 1
-    return encodings
+    segments: list[RLE] = []
+    pos = 0
+    while pos < n:
+        if chars[pos] == "-" or chars[pos] == " ":
+            pos += 1
+            continue
+
+        seg = RLE(start=pos)
+        in_dash_run = False
+        # Dashes in the current run.  Deliberately NOT reset when a run
+        # closes -- the reference clears it only when a new run opens
+        # (src/format.rs:161-165), so the end-of-input back-out below can
+        # subtract the PREVIOUS run's dashes when the input ends on 'D'.
+        # Quirky, but it is the pinned parity behavior.
+        run_dashes = 0
+        while pos < n and chars[pos] != " ":
+            c = chars[pos]
+            if c == "-":
+                if not in_dash_run:
+                    in_dash_run = True
+                    seg.gap_opens += 1
+                    run_dashes = 0
+                run_dashes += 1
+            else:
+                in_dash_run = False
+            aligned = c in ("M", "R", "I")
+            gap = c == "-" or c == "D"
+            if aligned:
+                seg.matches += 1
+            elif gap:
+                seg.gap_bases += 1
+            else:
+                seg.mismatches += 1
+            if not gap:
+                seg.end = pos + 1
+            if c == "R" and pos > 0 and chars[pos - 1] == "R":
+                seg.jumps += 1
+            pos += 1
+            ends_in_gap = gap and pos == n and seg.gap_opens > 0
+            if run_dashes > max_gap_len or ends_in_gap:
+                # the terminating run is not part of the segment
+                seg.gap_opens -= 1
+                seg.gap_bases -= run_dashes
+                break
+        segments.append(seg)
+    return segments
 
 
 def relative_to_ref(ref_seq: bytes, alignment) -> bytes:

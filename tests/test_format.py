@@ -39,6 +39,50 @@ def test_run_lengths_512():
     assert run_lengths(list(aln)) == expected
 
 
+def test_run_lengths_gapped_backout_overflow():
+    # A dash run longer than max_gap_len terminates the segment and is
+    # backed out of its totals (src/format.rs:180-184); the tail after the
+    # run becomes its own segment.
+    aln = list("MMM----MM")
+    assert run_lengths_gapped(aln, 3) == [
+        RLE(start=0, end=3, matches=3, mismatches=0, jumps=0,
+            gap_bases=0, gap_opens=0),
+        RLE(start=7, end=9, matches=2, mismatches=0, jumps=0,
+            gap_bases=0, gap_opens=0),
+    ]
+
+
+def test_run_lengths_gapped_backout_trailing_dashes():
+    # Input ending inside a tolerated dash run: the trailing run is backed
+    # out even though it never overflowed.
+    aln = list("MMMM--")
+    assert run_lengths_gapped(aln, 5) == [
+        RLE(start=0, end=4, matches=4, mismatches=0, jumps=0,
+            gap_bases=0, gap_opens=0)
+    ]
+
+
+def test_run_lengths_gapped_backout_trailing_d_stale_run():
+    # Reference quirk (src/format.rs:161-184): the dash counter resets only
+    # when a NEW dash run opens, so an input ending on 'D' after an earlier
+    # dash run backs out the PREVIOUS run's dash count (here 2) while the
+    # 'D' itself stays counted in gap_bases (3 D's + 2 dashes - 2 = 3).
+    aln = list("MM--MDDD")
+    assert run_lengths_gapped(aln, 4) == [
+        RLE(start=0, end=5, matches=3, mismatches=0, jumps=0,
+            gap_bases=3, gap_opens=0)
+    ]
+
+
+def test_run_lengths_gapped_trailing_d_without_gap_open():
+    # Ending on 'D' with no prior dash run: gap_opens == 0, so no back-out.
+    aln = list("MMDD")
+    assert run_lengths_gapped(aln, 4) == [
+        RLE(start=0, end=2, matches=2, mismatches=0, jumps=0,
+            gap_bases=2, gap_opens=0)
+    ]
+
+
 def test_relative_to_ref_unrefined():
     # reference: src/format.rs:225-247
     reference = b"TTGATTGGCTGGGCAGAGCTG"
