@@ -56,11 +56,15 @@ def main():
     from kbo_tpu import api, native
     from kbo_tpu.ops.derandomize import random_match_threshold
 
+    def progress(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
     t0 = time.time()
     bo = BuildOpts(k=k, build_select=True)
     index = build([query], bo)
     build_s = time.time() - t0
     threshold = random_match_threshold(k, index.n_kmers, 4, 1e-7)
+    progress(f"host build done ({build_s:.1f}s)")
 
     # native single-core end-to-end baseline FIRST (before device compiles
     # spawn background XLA threads that contend for the CPU); best of 2
@@ -73,6 +77,7 @@ def main():
             out_native, n_var = native.map_e2e(index, ref, threshold, 1e-7)
             base_s = min(base_s, time.time() - t0)
         base_bps = n / base_s
+        progress(f"native baseline done ({base_bps/1e6:.2f} Mbases/s)")
 
     platform = jax.devices()[0].platform
     mo = MapOpts()
@@ -81,6 +86,7 @@ def main():
     t0 = time.time()
     out_dev = api.map_(ref, index, mo)  # includes compiles on first run
     first_s = time.time() - t0
+    progress(f"device map first run done ({first_s:.1f}s incl. compiles)")
     e2e_s = float("inf")
     for _ in range(reps):
         t0 = time.time()
@@ -136,8 +142,10 @@ def main():
             cs = int(fn(*args))
         return max((time.time() - t0) / r - rtt, 1e-9), cs
 
+    progress(f"map reps done (best {e2e_s:.3f}s)")
     find_s, _ = timeit(find_fn, find_args, max(reps, 6))
     find_bps = n / find_s
+    progress(f"find-core done ({find_s*1e3:.1f}ms)")
 
     QN, QL = 512, 4096
     q_list = []

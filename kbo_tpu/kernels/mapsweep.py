@@ -238,11 +238,11 @@ def fetch_delta_runs(counts, run_start, run_end, run_val, cap: int):
     the (n_runs, checksum) counts as one int32 [4, cap] fetch (row 3 holds
     the counts in its leading entries)."""
     crow = jnp.zeros(cap, jnp.int32).at[:2].set(counts)
-    return jnp.stack(
-        [
-            run_start[:cap],
-            run_end[:cap],
-            run_val[:cap].astype(jnp.int32),
-            crow,
-        ]
-    )
+
+    def fit(row):
+        row = row[:cap].astype(jnp.int32)
+        if row.shape[0] < cap:  # tiny inputs: fewer runs than the capacity
+            row = jnp.pad(row, (0, cap - row.shape[0]))
+        return row
+
+    return jnp.stack([fit(run_start), fit(run_end), fit(run_val), crow])
