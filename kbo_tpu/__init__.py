@@ -49,6 +49,14 @@ if _cache_dir and _cache_dir != "0":
             "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
         )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Pallas/Mosaic kernels serialize MLIR source locations INCLUDING
+        # the caller's stack frames into the custom-call payload, so the
+        # same kernel lowered from two different scripts (or after a
+        # different number of prior lowerings) hashes to a different
+        # persistent-cache key -- every fresh process recompiled the big
+        # kernels (~140s each at 2M). Dropping tracebacks from locations
+        # makes the payload canonical and the cache key stable.
+        _jax.config.update("jax_traceback_in_locations_limit", 0)
     except ImportError:
         pass
 

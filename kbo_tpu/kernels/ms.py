@@ -540,14 +540,50 @@ def _ms3_iv_jit(keys3, buf, k):
 
 
 class DeviceIndex:
-    """An SbwtIndex's sort-join key tables resident on a device."""
+    """An SbwtIndex's sort-join key tables resident on a device.
+
+    When the index carries its packed construction text, the tables are
+    REBUILT on device from it (3 radix sorts, :func:`_build_full_jit`)
+    instead of uploaded: the text is ~n bytes while the key tables are
+    ~40n, and the relay uplink made the upload dominate one-shot runs
+    (~70s for a 2M-base index vs ~2s upload+rebuild). The rebuilt tables
+    carry a sentinel tail (rows sorting after every real key and probe --
+    query- and interval-neutral); ``KBO_TPU_UPLOAD_INDEX=1`` forces the
+    exact host arrays for differential testing.
+    """
 
     def __init__(self, index: SbwtIndex, device=None):
-        assert index.keys2 is not None, "index built without join keys"
+        import os
+
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        self.keys2 = put(np.ascontiguousarray(index.keys2))
-        self.cap2 = put(np.ascontiguousarray(index.cap2))
-        self.keys3 = put(np.ascontiguousarray(index.keys3))
+        text = getattr(index, "text", None)
+        rebuilt = False
+        if (
+            text is not None
+            and os.environ.get("KBO_TPU_UPLOAD_INDEX", "0") != "1"
+        ):
+            text = np.asarray(text, dtype=np.uint8)
+            # a construction buffer starts with the root segment's k '$'s;
+            # an access-chunk text (e.g. a .sbwt-loaded index) does not
+            if text.size >= index.k and not text[: index.k].any():
+                T = _bucket(int(text.size))
+                buf = np.full(T, INVALID, dtype=np.uint8)
+                buf[: text.size] = text
+                keys3, _row_pos, keys2, cap2, meta = _build_full_jit(
+                    put(buf), int(index.k)
+                )
+                meta = np.asarray(meta)  # one scalar-sized fetch
+                rebuilt = (
+                    int(meta[0]) == int(index.n_rows)
+                    and int(meta[1]) == int(index.n_kmers)
+                )
+                if rebuilt:
+                    self.keys2, self.cap2, self.keys3 = keys2, cap2, keys3
+        if not rebuilt:
+            assert index.keys2 is not None, "index built without join keys"
+            self.keys2 = put(np.ascontiguousarray(index.keys2))
+            self.cap2 = put(np.ascontiguousarray(index.cap2))
+            self.keys3 = put(np.ascontiguousarray(index.keys3))
         self.n_rows = int(index.n_rows)
         self.n_kmers = int(index.n_kmers)
         self.k = int(index.k)

@@ -20,7 +20,7 @@ import numpy as np
 from kbo_tpu.index.sbwt import SbwtIndex
 from kbo_tpu.ops.derandomize import random_match_threshold
 from kbo_tpu.ops.ms import query_ms_codes
-from kbo_tpu.index.encode import encode_ascii
+from kbo_tpu.index.encode import DOLLAR, encode_ascii
 
 
 @dataclasses.dataclass
@@ -228,14 +228,24 @@ def call_variants(
     if sites.size == 0:
         return []
 
-    # phase 3: batched k-mer extraction + batched bidirectional k-mer MS
+    # phase 3: batched k-mer extraction + batched bidirectional k-mer MS.
+    # Query k-mers ending at each anchor come from ONE vectorized window
+    # gather over the encoded query ('$'-padding for anchors < k-1,
+    # reference: src/variant_calling.rs:46-58); the raw ASCII windows ride
+    # along so resolve output slices preserve original bytes exactly.
     if ivals is not None:
         anchor_rows = ivals.get_batch(anchors)[:, 0]
     else:
         anchor_rows = cand_iv[np.searchsorted(cand, anchors), 0]
     ref_kmers_codes = sbwt_ref.access_kmers_codes(anchor_rows)
-    query_kmers = [get_kmer_ending_at(query, int(j), k) for j in anchors]
-    qk_codes = [encode_ascii(qk) for qk in query_kmers]
+    qbytes = np.frombuffer(query, dtype=np.uint8)
+    widx = anchors[:, None] + np.arange(-(k - 1), 1, dtype=np.int64)[None, :]
+    in_range = widx >= 0
+    qk_ascii = np.where(
+        in_range, qbytes[np.maximum(widx, 0)], np.uint8(ord("$"))
+    ).astype(np.uint8)
+    qk_mat = np.where(in_range, codes[np.maximum(widx, 0)], np.uint8(DOLLAR))
+    qk_codes = list(qk_mat.astype(np.uint8))
     rk_codes = [ref_kmers_codes[t] for t in range(len(sites))]
     if mesh is not None:
         # data-parallel candidate re-runs over the mesh (BASELINE
@@ -253,8 +263,8 @@ def call_variants(
                 sbwt_query, rk_codes, k
             )
         return _resolve_all(
-            sites, anchors, ref_kmers_codes, query_kmers,
-            ms_vs_ref_list, ms_vs_query_list, d,
+            sites, ref_kmers_codes, qk_ascii,
+            np.stack(ms_vs_ref_list), np.stack(ms_vs_query_list), d,
         )
 
     # both candidate batches are independent; dispatch both, then pay ONE
@@ -284,10 +294,12 @@ def call_variants(
         both = np.asarray(
             jnp.stack([ms_vs_ref_dev, ms_vs_query_dev]).astype(jnp.uint8),
         ).astype(np.int64)
-        ms_vs_ref_list = [both[0, i, : c.size] for i, c in enumerate(qk_codes)]
-        ms_vs_query_list = [
-            both[1, i, : c.size] for i, c in enumerate(rk_codes)
-        ]
+        ms_vs_ref_mat = both[0, :, :k]
+        ms_vs_query_mat = both[1, :, :k]
+        return _resolve_all(
+            sites, ref_kmers_codes, qk_ascii,
+            ms_vs_ref_mat, ms_vs_query_mat, d,
+        )
     else:  # host fallback (tiny inputs or KBO_TPU_BACKEND=host)
         from kbo_tpu.ops.ms import query_ms_codes
 
@@ -313,29 +325,71 @@ def call_variants(
             )
 
     return _resolve_all(
-        sites, anchors, ref_kmers_codes, query_kmers,
-        ms_vs_ref_list, ms_vs_query_list, d,
+        sites, ref_kmers_codes, qk_ascii,
+        np.stack(ms_vs_ref_list), np.stack(ms_vs_query_list), d,
     )
 
 
+def _rightmost_peaks(ms: np.ndarray, d: int) -> np.ndarray:
+    """Per row: rightmost i <= k-2 with ms[i] >= d and ms[i] > ms[i+1],
+    else -1 (vectorized src/variant_calling.rs:73-83)."""
+    mask = (ms[:, :-1] >= d) & (ms[:, :-1] > ms[:, 1:])
+    has = mask.any(axis=1)
+    last = mask.shape[1] - 1 - np.argmax(mask[:, ::-1], axis=1)
+    return np.where(has, last, -1)
+
+
 def _resolve_all(
-    sites, anchors, ref_kmers_codes, query_kmers,
-    ms_vs_ref_list, ms_vs_query_list, d: int,
+    sites, ref_kmers_codes, qk_ascii,
+    ms_vs_ref, ms_vs_query, d: int,
 ) -> list[Variant]:
-    from kbo_tpu.index.encode import decode_codes
+    """Vectorized resolve_variant over all candidate sites.
+
+    Case analysis identical to the scalar spec :func:`resolve_variant`
+    (reference: src/variant_calling.rs:139-201); the scalar version stays
+    as the differentially-tested semantic reference. Sites that the
+    reference rejects (no significant peak, equal overlaps) drop out via
+    masks instead of exceptions.
+    """
+    from kbo_tpu.index.encode import CODE_TO_ASCII
+
+    sites = np.asarray(sites)
+    S = sites.size
+    if S == 0:
+        return []
+    k = qk_ascii.shape[1]
+    rk_ascii = CODE_TO_ASCII[np.asarray(ref_kmers_codes, dtype=np.uint8)]
+    ms_vs_ref = np.asarray(ms_vs_ref)[:, :k]
+    ms_vs_query = np.asarray(ms_vs_query)[:, :k]
+
+    eq = qk_ascii == rk_ascii
+    csl = np.cumprod(eq[:, ::-1], axis=1).sum(axis=1)  # common suffix len
+    assert (csl > 0).all()
+
+    qpeak = _rightmost_peaks(ms_vs_ref, d)  # peak in the query k-mer's MS
+    rpeak = _rightmost_peaks(ms_vs_query, d)
+    ok = (qpeak >= 0) & (rpeak >= 0)
+
+    sms = k - csl  # suffix_match_start
+    qgap = sms - qpeak - 1
+    rgap = sms - rpeak - 1
+    subst = ok & (qgap > 0) & (rgap > 0)
+    indel = ok & ~subst & (qgap != rgap)  # equal overlaps are unresolvable
+    is_del = indel & (-qgap > -rgap)  # query overlap larger = deletion
+    vlen = np.abs(qgap - rgap)
 
     calls: list[Variant] = []
-    for t, i in enumerate(sites):
-        ref_kmer = decode_codes(ref_kmers_codes[t])
-        try:
-            qc, rc = resolve_variant(
-                query_kmers[t],
-                ref_kmer,
-                ms_vs_query_list[t],
-                ms_vs_ref_list[t],
-                d,
-            )
-            calls.append(Variant(query_pos=int(i), query_chars=qc, ref_chars=rc))
-        except ResolveVariantErr:
-            pass
+    for t in np.flatnonzero(subst | indel).tolist():
+        if subst[t]:
+            qc = qk_ascii[t, qpeak[t] + 1 : sms[t]].tobytes()
+            rc = rk_ascii[t, rpeak[t] + 1 : sms[t]].tobytes()
+        elif is_del[t]:
+            qc = b""
+            rc = rk_ascii[t, rpeak[t] + 1 : rpeak[t] + 1 + vlen[t]].tobytes()
+        else:
+            qc = qk_ascii[t, qpeak[t] + 1 : qpeak[t] + 1 + vlen[t]].tobytes()
+            rc = b""
+        calls.append(
+            Variant(query_pos=int(sites[t]), query_chars=qc, ref_chars=rc)
+        )
     return calls
