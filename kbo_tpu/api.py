@@ -141,6 +141,8 @@ def call(
     noisy_ms=None,
     ivals=None,
     drops=None,
+    anchors=None,
+    anchor_rows=None,
     mesh=None,
 ) -> list[variant_calling.Variant]:
     """Call variants between a query index and a reference sequence
@@ -188,6 +190,8 @@ def call(
             noisy_ms=noisy_ms,
             ivals=ivals,
             drops=drops,
+            anchors=anchors,
+            anchor_rows=anchor_rows,
             mesh=mesh,
         )
     get_stats().add("variants_called", len(variants))
@@ -305,7 +309,6 @@ def _map_batch_sparse(
         assemble_map,
         fetch_candidates,
         fetch_delta_runs,
-        map_sweep_compact,
     )
     from kbo_tpu.pipeline import pad_batch
 
@@ -332,6 +335,10 @@ def _map_batch_sparse(
     Q, L = codes.shape
 
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        # optimistic capacities: only a denser-than-1-per-512-bases input
+        # pays a second exactly-sized pass
+        cap_d = cap_g = _pow2_cap(L // 512)
+        scan_block = None
         if mesh is not None:
             from kbo_tpu.parallel.mesh import map_sweep_compact_sharded
 
@@ -343,42 +350,52 @@ def _map_batch_sparse(
                 gap_start_dev,
                 gap_end_dev,
             ) = map_sweep_compact_sharded(dev, codes, lengths, threshold, mesh)
-        else:
-            # retained: the sparse interval probes gather their windows
-            # from this device-resident copy instead of uploading windows
-            codes_dev = jnp.asarray(codes)
-            (
-                chars_dev,
-                ms_dev,
-                counts_dev,
-                drop_pos_dev,
-                gap_start_dev,
-                gap_end_dev,
-            ) = map_sweep_compact(
-                dev.keys2,
-                dev.cap2,
-                codes_dev,
-                jnp.asarray(lengths),
-                k,
-                jnp.int32(threshold),
-            )
-        # optimistic single fetch: counts ride along with guess-capacity
-        # candidate slices; only a denser-than-1-per-512-bases input pays a
-        # second exactly-sized fetch
-        cap_d = cap_g = _pow2_cap(L // 512)
-        packed = np.asarray(
-            fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
-                             gap_end_dev, cap_d, cap_g)
-        )
-        counts = packed[:, :2]
-        if int(counts[:, 0].max()) > cap_d or int(counts[:, 1].max()) > cap_g:
-            cap_d = _pow2_cap(int(counts[:, 0].max()))
-            cap_g = _pow2_cap(int(counts[:, 1].max()))
             packed = np.asarray(
                 fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
                                  gap_end_dev, cap_d, cap_g)
             )
-        packed = packed[:, 2:]
+            counts = packed[:, :2]
+            if (
+                int(counts[:, 0].max()) > cap_d
+                or int(counts[:, 1].max()) > cap_g
+            ):
+                cap_d = _pow2_cap(int(counts[:, 0].max()))
+                cap_g = _pow2_cap(int(counts[:, 1].max()))
+                packed = np.asarray(
+                    fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
+                                     gap_end_dev, cap_d, cap_g)
+                )
+            packed = packed[:, 2:]
+        else:
+            # fused single dispatch: 3-bit join (MS + uniqueness + rows),
+            # derandomize/translate, candidate compaction, device-side
+            # anchors + gap grids -- ONE packed fetch for everything the
+            # host refinement needs (kernels/mapsweep.py)
+            from kbo_tpu.kernels.mapsweep import map_sweep_compact3
+
+            codes_dev = jnp.asarray(codes)
+            lengths_dev = jnp.asarray(lengths)
+            thr = jnp.int32(threshold)
+
+            def run_sweep3(cap_d, cap_g):
+                return map_sweep_compact3(
+                    dev.keys3, dev.lcs3, codes_dev, lengths_dev, k, thr,
+                    cap_d, cap_g,
+                )
+
+            chars_dev, ms_dev, packed_dev = run_sweep3(cap_d, cap_g)
+            block = np.asarray(packed_dev)
+            counts = block[:, :2]
+            if (
+                int(counts[:, 0].max()) > cap_d
+                or int(counts[:, 1].max()) > cap_g
+            ):
+                cap_d = _pow2_cap(int(counts[:, 0].max()))
+                cap_g = _pow2_cap(int(counts[:, 1].max()))
+                chars_dev, ms_dev, packed_dev = run_sweep3(cap_d, cap_g)
+                block = np.asarray(packed_dev)
+            packed = block[:, 2 : 2 + cap_d + 2 * cap_g]
+            scan_block = block[:, 2 + cap_d + 2 * cap_g :]
 
     patch_pos: list[np.ndarray] = []
     patch_val: list[np.ndarray] = []
@@ -398,21 +415,36 @@ def _map_batch_sparse(
         ivals = engine.SparseIntervals(
             query_sbwt, code_list[q], ms=ms_dev[q], dev_codes=codes_dev[q]
         )
-        # both refinement layers' interval reads, prefetched as ONE probe
-        # (for the variant caller only the first 8-offset anchor round --
-        # stragglers fetch further rounds lazily)
-        probe_parts = []
-        if opts.fill_gaps and runs:
-            probe_parts.append(
-                gap_filling.gap_probe_positions(runs, n_ref, k, threshold)
-            )
-        if opts.call_variants and drops.size:
-            cand = np.unique(
-                (drops[:, None] + np.arange(1, 9)[None, :]).reshape(-1)
-            )
-            probe_parts.append(cand[cand < n_ref])
-        if probe_parts:
-            ivals.prefetch(np.unique(np.concatenate(probe_parts)))
+        anchors = anchor_rows = grid = None
+        if scan_block is not None:
+            # device-resolved anchors + gap probe grid, fetched as part of
+            # the sweep's single packed block
+            scan = scan_block[q].astype(np.int64)
+            if opts.call_variants and drops.size:
+                anchors = scan[: drops.size]
+                anchor_rows = scan[cap_d : cap_d + drops.size]
+            if opts.fill_gaps and runs:
+                grid = scan[2 * cap_d :].reshape(cap_g, k + 1)
+        else:
+            # mesh path: one union interval prefetch; anchor rounds and the
+            # gap evaluator read from the provider's cache
+            probe_parts = []
+            if opts.fill_gaps and runs:
+                probe_parts.append(
+                    gap_filling.gap_probe_positions(runs, n_ref, k, threshold)
+                )
+            if opts.call_variants and drops.size:
+                # anchors need ms[j] >= threshold, which after a clean
+                # variant first happens near offset=threshold -- prefetch
+                # through threshold+16 so the 8-offset rounds hit cache
+                hi_off = min(threshold + 16, k)
+                cand = np.unique(
+                    (drops[:, None] + np.arange(1, hi_off + 1)[None, :])
+                    .reshape(-1)
+                )
+                probe_parts.append(cand[cand < n_ref])
+            if probe_parts:
+                ivals.prefetch(np.unique(np.concatenate(probe_parts)))
         patches: dict[int, int] = {}
         total_gap_runs += len(runs)
         clamped_gap_bases = sum(
@@ -421,7 +453,7 @@ def _map_batch_sparse(
         if opts.fill_gaps:
             gp = gap_filling.fill_gaps_patches(
                 runs, ivals, ref_seq, query_sbwt, threshold,
-                opts.max_error_prob,
+                opts.max_error_prob, grid=grid,
             )
             unfilled_bases += max(0, clamped_gap_bases - len(gp))
             for pos, ch in gp:
@@ -438,6 +470,8 @@ def _map_batch_sparse(
                 ),
                 ivals=ivals,
                 drops=drops,
+                anchors=anchors,
+                anchor_rows=anchor_rows,
                 mesh=mesh,
             )
             for pos, ch in translate.variant_patches(variants):

@@ -1,30 +1,35 @@
-"""Sparse-fetch map pipeline kernels: device-side candidate compaction and
+"""Sparse-fetch map pipeline kernels: fused sweep + refinement probes and
 delta-encoded output assembly.
 
 The map path (reference: src/lib.rs:720-761) interleaves a dense sweep with
 data-dependent refinement. Device->host transfers through a TPU host (and
 especially through this environment's relay) are the end-to-end bottleneck,
-so the round-2 execution model never fetches a full-length array:
+so the execution model never fetches a full-length array and runs the whole
+pre-refinement phase as ONE device program:
 
-1. :func:`map_sweep_compact_core` runs MS + derandomize + translate fused
-   (one device call) and *compacts on device* the two candidate sets the
-   refinement layers need -- MS drop sites (variant calling, reference:
-   src/variant_calling.rs:268-269) and gap runs of the translation
-   (gap filling, reference: src/gap_filling.rs:466-475). Only the counts
-   and the compacted index lists are fetched; the dense ``chars``/``ms``
-   arrays stay resident on device.
-2. The refinement layers work from the compacted candidates with sparse
-   interval probes and batched k-mer joins, producing a small list of
-   (position, char) patches on host.
+1. :func:`map_sweep_compact3_core` computes MS + per-position interval
+   uniqueness + matched colex rows from a single 3-bit sort-join
+   (kernels.ms.ms3_rows_core), then derandomize + translate, compacts the
+   refinement candidates on device -- MS drop sites (variant calling,
+   reference: src/variant_calling.rs:268-269) and gap runs of the
+   translation (gap filling, src/gap_filling.rs:466-475) -- and resolves
+   the variant anchors and gap unique-context grids as pure gathers from
+   the dense join outputs. One packed int32 fetch carries everything the
+   host refinement needs; the dense ``chars``/``ms`` arrays stay resident.
+2. The host refinement layers (vectorized acceptance math, lane-batched
+   left extension, batched candidate k-mer MS re-runs) produce a small
+   list of (position, char) patches.
 3. :func:`assemble_map_core` scatters the patches into the device-resident
    translation, applies ``relative_to_ref`` (reference: src/format.rs:266-287)
    on device, and emits the output as *deltas against the reference* (map
    output is ~99.9% equal to the reference sequence); the host reconstructs
    the full bytes from ref + deltas.
 
-Compaction is sort-based (positions of mask -> stable ascending order),
-which is TPU-friendly: one single-key ``lax.sort`` instead of a serialized
-gather/scatter. All shapes are static; capacities are bucketed.
+:func:`map_sweep_compact_core` (2-bit join, no interval outputs) remains
+the mesh-sharded path's sweep. Compaction is sort-based (positions of
+mask -> stable ascending order), which is TPU-friendly: one single-key
+``lax.sort`` instead of a serialized gather/scatter. All shapes are
+static; capacities are bucketed.
 """
 
 from __future__ import annotations
@@ -165,6 +170,189 @@ def fetch_candidates(
         ],
         axis=1,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ms3_rows_sweep(keys3, lcs3, codes, k: int):
+    """Stage 1 of the fused map sweep: the 3-bit join over a [Q, L] batch,
+    emitting device-resident per-position (ms, uniq, row). Split from the
+    postprocess stage (:func:`map_postprocess3`) because XLA:TPU compile
+    time is superlinear in program size -- the two halves compile in a
+    fraction of the fused whole and the extra dispatch costs no fetch
+    (async dispatch; stage 2 consumes stage 1's device arrays)."""
+    from kbo_tpu.kernels.ms import ms3_rows_core
+
+    Q, L = codes.shape
+    pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+    buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
+    stride = L + k - 1
+    ms_f, uniq_f, row_f = ms3_rows_core(keys3, lcs3, buf, k)
+    ms = ms_f.reshape(Q, stride)[:, k - 1 :]
+    uniq = uniq_f.reshape(Q, stride)[:, k - 1 :]
+    rows = row_f.reshape(Q, stride)[:, k - 1 :]
+    return ms, uniq, rows
+
+
+def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
+                          cap_d: int, cap_g: int):
+    """Stage 2 of the fused map sweep: derandomize/translate, candidate
+    compaction, device-side variant anchors and gap unique-context grids
+    from the dense stage-1 outputs -- one packed int32 fetch carries
+    everything the host refinement needs.
+
+    Together the two stages replace the (2-bit sweep join) + (floor/ceil
+    interval probe pass) pair: the 3-bit all-rows join yields the same MS
+    values (the 3-bit keyspace expresses '$' boundaries directly) while
+    uniqueness and the matched colex row fall out of the LCS identity
+    (kernels.ms.ms3_rows_core), so the refinement probe pass disappears.
+
+    Returns (chars uint8 [Q, L] -- device-resident;
+    packed int32 [Q, 2 + cap_d + 2*cap_g + 2*cap_d + cap_g*(k+1)]):
+    per row: n_drops, n_gaps, drop positions, gap starts, gap ends,
+    anchor positions (-1 = none; reference anchor rule,
+    src/variant_calling.rs:271-272), anchor colex rows, then the gap
+    unique-context grid (colex row at search_lo_g + c when unique, else
+    -1; src/gap_filling.rs:127-151, :466-478).
+    """
+    Q, L = ms.shape
+    derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
+        ms, lengths
+    )
+    chars = jax.vmap(lambda d, n: translate_core(d, k, threshold, n))(
+        derand, lengths
+    )
+
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_len = idx < lengths[:, None]
+    t = jnp.int32(threshold)
+
+    prev_ms = jnp.concatenate([ms[:, :1], ms[:, :-1]], axis=1)
+    drop_mask = (
+        (idx >= 1) & in_len & (ms < prev_ms) & (prev_ms >= t) & (ms < t)
+    )
+    drop_pos = jax.vmap(lambda m: _compact_row(m, idx[0]))(drop_mask)
+
+    is_dash = (chars == _DASH) & in_len
+    is_x = (chars == _X) & in_len
+    is_gapc = is_dash | is_x
+    lo_t = t
+    hi_t = lengths[:, None] - t - 1
+    prev_gapc = jnp.concatenate(
+        [jnp.zeros((Q, 1), bool), is_gapc[:, :-1]], axis=1
+    )
+    start_mask = (
+        is_gapc
+        & (idx >= lo_t)
+        & (idx < hi_t)
+        & (is_x | (idx == lo_t) | ~prev_gapc)
+    )
+    gap_start = jax.vmap(lambda m: _compact_row(m, idx[0]))(start_mask)
+    nnd = jax.vmap(_next_nondash)(
+        is_dash, idx + jnp.zeros((Q, 1), jnp.int32), lengths
+    )
+    gap_end_at = jnp.take_along_axis(
+        nnd, jnp.minimum(gap_start, jnp.int32(L - 1)), axis=1
+    )
+
+    counts = jnp.stack(
+        [
+            jnp.sum(drop_mask, axis=1, dtype=jnp.int32),
+            jnp.sum(start_mask, axis=1, dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def refine_one(ms_q, uniq_q, rows_q, dp_row, gs_row, ge_row, n_q):
+        # variant anchors: first j in (i, i+k] with ms[j] >= t and a
+        # unique interval -- now pure gathers from the dense join outputs
+        dp = _pad_slots(dp_row, cap_d)
+        real_d = dp < _BIG32
+        offs_a = jnp.arange(1, k + 1, dtype=jnp.int32)
+        pos_a = jnp.minimum(dp[:, None], jnp.int32(2**30)) + offs_a[None, :]
+        valid_a = real_d[:, None] & (pos_a < n_q)
+        pa = jnp.clip(pos_a, 0, L - 1)
+        ok = (ms_q[pa] >= t) & uniq_q[pa] & valid_a
+        has = ok.any(axis=1)
+        first = jnp.argmax(ok, axis=1)
+        apos = jnp.where(
+            has, jnp.take_along_axis(pos_a, first[:, None], 1)[:, 0], -1
+        )
+        arow = jnp.where(
+            has,
+            jnp.take_along_axis(rows_q[pa], first[:, None], 1)[:, 0],
+            -1,
+        )
+
+        # gap unique-context grid over each run's search window
+        gstart = _pad_slots(gs_row, cap_g)
+        gend = _pad_slots(ge_row, cap_g)
+        gs = jnp.minimum(gstart, jnp.int32(2**30))
+        real_g = gstart < _BIG32
+        end = jnp.minimum(gend, n_q - t)
+        gap_len = end - gs
+        fits = gap_len + 2 * t <= jnp.int32(k)
+        radius = jnp.int32(k) - jnp.where(fits, t, 0)
+        lo = end + t
+        hi = jnp.minimum(end + radius, n_q - 1)
+        offs_g = jnp.arange(k + 1, dtype=jnp.int32)
+        pos_g = lo[:, None] + offs_g[None, :]
+        valid_g = real_g[:, None] & (pos_g <= hi[:, None]) & (pos_g >= 0)
+        pg = jnp.clip(pos_g, 0, L - 1)
+        grid = jnp.where(valid_g & uniq_q[pg], rows_q[pg], -1)
+        return apos.astype(jnp.int32), arow.astype(jnp.int32), grid
+
+    apos, arow, grid = jax.vmap(refine_one)(
+        ms, uniq, rows, drop_pos, gap_start, gap_end_at, lengths
+    )
+
+    def cols(arr, cap):
+        out = arr[:, :cap]
+        if out.shape[1] < cap:  # tiny inputs: fewer slots than the capacity
+            out = jnp.pad(
+                out, ((0, 0), (0, cap - out.shape[1])),
+                constant_values=_BIG32,
+            )
+        return out
+
+    packed = jnp.concatenate(
+        [
+            counts,
+            cols(drop_pos, cap_d),
+            cols(gap_start, cap_g),
+            cols(gap_end_at, cap_g),
+            apos,
+            arow,
+            grid.reshape(Q, cap_g * (k + 1)),
+        ],
+        axis=1,
+    )
+    return chars, packed
+
+
+map_postprocess3 = jax.jit(
+    map_postprocess3_core, static_argnames=("k", "cap_d", "cap_g")
+)
+
+
+def map_sweep_compact3(keys3, lcs3, codes, lengths, k: int, threshold,
+                       cap_d: int, cap_g: int):
+    """Two-dispatch fused map sweep (join stage + postprocess stage; see
+    the stage docstrings). Returns (chars, ms, packed); only `packed` is
+    meant to be fetched."""
+    ms, uniq, rows = ms3_rows_sweep(keys3, lcs3, codes, k)
+    chars, packed = map_postprocess3(
+        ms, uniq, rows, lengths, k, threshold, cap_d, cap_g
+    )
+    return chars, ms, packed
+
+
+def _pad_slots(arr, cap: int):
+    """Slice a sort-compacted slot array to `cap`, padding with BIG when
+    the source is shorter (tiny inputs)."""
+    out = arr[:cap]
+    if out.shape[0] < cap:
+        out = jnp.pad(out, (0, cap - out.shape[0]), constant_values=_BIG32)
+    return out
 
 
 def assemble_map_core(chars, ref_ascii, lengths, patch_pos, patch_val,

@@ -374,6 +374,119 @@ def ms3_core(keys3, buf, k: int):
     return jnp.minimum(c, jnp.int32(k))
 
 
+def lcs3_from_keys3(keys3, k: int):
+    """int32 [n] longest common suffix (in chars, capped at k) between
+    colex-adjacent rows; entry 0 is 0. One elementwise pass over the keys
+    (the reference's LcsArray semantics, derived from the key table)."""
+    prev = [
+        jnp.concatenate([w[:1] ^ jnp.uint32(0xFFFFFFFF), w[:-1]])
+        for w in keys3
+    ]
+    # row 0's synthetic predecessor differs in the top bits, where the clz
+    # chunk arithmetic yields -1; clamp to the true "no common suffix" 0
+    return jnp.clip(_common3(list(keys3), prev), 0, jnp.int32(k))
+
+
+_lcs3_jit = jax.jit(lcs3_from_keys3, static_argnames=("k",))
+
+
+def ms3_rows_core(keys3, lcs3, buf, k: int):
+    """(ms, uniq, row) for EVERY buffer position via ONE 3-bit join.
+
+    The colex interval of position i's matched suffix (length ms[i]) has
+    width 1 iff, around the query key's insertion point, exactly one
+    adjacent row shares a length-ms[i] prefix and the block does not
+    extend past it -- an LCS-array identity (the block of rows sharing a
+    depth-m prefix is delimited by lcs < m), so uniqueness costs one
+    lcs gather instead of the floor/ceil probe pair (whose extra merge
+    rows made sparse interval probing cost ~3x the MS sweep itself).
+
+    Returns (ms int32 [T] in [0, k], uniq bool [T], row int32 [T] = the
+    colex row of the unique match, valid where uniq). Differential
+    reference: engine.compute_ms_intervals_at (floor/ceil counting).
+    """
+    W = keys3.shape[0]
+    n = keys3.shape[1]
+    T = buf.shape[0]
+    assert n + T < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    q_words = pack_windows_3bit(buf, k)
+    meta = jnp.arange(T, dtype=jnp.int32)
+    ref_words = [keys3[w] for w in range(W)]
+
+    capv = jnp.uint32(min(k, 254))
+    ref_packed = jnp.full((n,), jnp.uint32(0xFFFFFF00) | capv)
+    q_packed = (meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
+    if _use_pallas_merge():
+        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+        q_ops = _radix_sort(list(q_words) + [q_packed], W)
+        merged = bitonic_merge(
+            list(ref_words) + [ref_packed],
+            q_ops,
+            n_comps=W,
+            slice_output=False,
+        )
+        sw, spacked = merged[:W], merged[W]
+    else:
+        sw = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
+        spacked = jnp.concatenate([ref_packed, q_packed])
+        ops = _radix_sort(sw + [spacked], W)
+        sw, spacked = ops[:W], ops[W]
+    M = sw[0].shape[0]
+    capbyte = spacked & jnp.uint32(0xFF)
+    is_ref = capbyte != 0xFF
+    cap = jnp.where(is_ref, capbyte.astype(jnp.int32), jnp.int32(-1))
+    if _use_pallas_merge() and M % (1 << 16) == 0:
+        from kbo_tpu.kernels.pallas_join import clamp_scan
+
+        f = clamp_scan(sw, cap, 3, reverse=False)
+        b = clamp_scan(sw, cap, 3, reverse=True)
+    else:
+        f = _clamp_scan_jnp(_edge_lcp(sw, _common3, False), cap, False)
+        b = _clamp_scan_jnp(_edge_lcp(sw, _common3, True), cap, True)
+    kk = jnp.int32(k)
+    f = jnp.minimum(f, kk)
+    b = jnp.minimum(b, kk)
+    ms_slot = jnp.maximum(jnp.maximum(f, b), 0)
+
+    # nearest reference row on each side (colex index = rank among rows);
+    # with uniform caps the nearest row attains the best lcp, so the side
+    # with the strictly larger lcp holds the matched block's edge row
+    xl = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
+    left_best = f > b
+    right_best = b > f
+    x = jnp.where(left_best, xl, xl + 1)
+    # block extends past x iff the adjacent-row LCS at the far side >= ms:
+    # left case probe lcs3[x] (= common(x-1, x)); right case lcs3[x + 1]
+    probe = x + right_best.astype(jnp.int32)
+    in_table = (probe >= 0) & (probe < n)
+    lcsv = jnp.where(
+        in_table, lcs3[jnp.clip(probe, 0, n - 1)], jnp.int32(0)
+    )
+    uniq_slot = (
+        (ms_slot > 0)
+        & (left_best | right_best)
+        & (lcsv < ms_slot)
+        & (x >= 0)
+        & (x < n)
+    )
+
+    # back-sort to query order: key = meta (refs sort last), payload packs
+    # (row 24b | ms 7b | uniq 1b) -- k < 64 so ms fits 7 bits
+    sort_key = jnp.where(is_ref, jnp.int32(M), (spacked >> 8).astype(jnp.int32))
+    payload = (
+        (jnp.clip(x, 0, n - 1).astype(jnp.uint32) << 8)
+        | (ms_slot.astype(jnp.uint32) << 1)
+        | uniq_slot.astype(jnp.uint32)
+    )
+    back = jax.lax.sort((sort_key, payload), num_keys=1, is_stable=False)
+    out = back[1][:T]
+    ms = ((out >> 1) & jnp.uint32(0x7F)).astype(jnp.int32)
+    uniq = (out & 1).astype(bool)
+    row = (out >> 8).astype(jnp.int32)
+    return ms, uniq, row
+
+
 def _intervals_from_keys(keys3, q_words, ms):
     """Colex intervals [l, r) of the length-ms prefixes of the given 3-bit
     query keys, counted over ALL rows (dummies included -- the 3-bit key
@@ -470,15 +583,13 @@ def _intervals3_windows_msrow_jit(keys3, windows, ms_row, pos, k):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _intervals3_pos_jit(keys3, codes_row, ms_row, pos, k):
-    """Sparse interval probe with DEVICE-side window assembly.
+def intervals_at_positions_core(keys3, codes_row, ms_row, pos, k: int):
+    """(l, r, ms_at) colex-interval probe at device-resident positions.
 
-    codes_row: uint8 [L] the query-coordinate code row already resident on
-    device (the map sweep uploaded it); pos: int32 [Pb] query positions.
-    The [Pb, k] window matrix is gathered on device (one static gather),
-    so the host uploads Pb positions instead of Pb*k window bytes and the
-    fetch is one stacked int32 [3, Pb] (l, r, ms_at).
+    codes_row: uint8 [L] resident code row; ms_row: int32 [L] resident MS
+    row; pos: int32 [P]. The [P, k] window matrix is gathered on device
+    (one static gather). Usable inside larger jits (the sweep-probe
+    fusion) as well as standalone via :func:`_intervals3_pos_jit`.
     """
     ms_at = ms_row[jnp.minimum(pos, jnp.int32(ms_row.shape[0] - 1))]
     offs = jnp.arange(k, dtype=jnp.int32)[None, :] - jnp.int32(k - 1)
@@ -489,9 +600,15 @@ def _intervals3_pos_jit(keys3, codes_row, ms_row, pos, k):
         jnp.uint8(INVALID),
     )
     l, r = intervals3_windows_core(keys3, windows, ms_at, k)
-    return jnp.stack(
-        [l.astype(jnp.int32), r.astype(jnp.int32), ms_at.astype(jnp.int32)]
-    )
+    return l.astype(jnp.int32), r.astype(jnp.int32), ms_at.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _intervals3_pos_jit(keys3, codes_row, ms_row, pos, k):
+    """Sparse interval probe with DEVICE-side window assembly; the fetch is
+    one stacked int32 [3, Pb] (l, r, ms_at)."""
+    l, r, ms_at = intervals_at_positions_core(keys3, codes_row, ms_row, pos, k)
+    return jnp.stack([l, r, ms_at])
 
 
 def ms3_batch_vs_seq_core(ref_buf, q_codes, k: int):
@@ -584,6 +701,7 @@ class DeviceIndex:
             self.keys2 = put(np.ascontiguousarray(index.keys2))
             self.cap2 = put(np.ascontiguousarray(index.cap2))
             self.keys3 = put(np.ascontiguousarray(index.keys3))
+        self.lcs3 = _lcs3_jit(self.keys3, int(index.k))
         self.n_rows = int(index.n_rows)
         self.n_kmers = int(index.n_kmers)
         self.k = int(index.k)
@@ -843,6 +961,7 @@ class DeviceFullIndex:
         self.row_pos = row_pos
         self.keys2 = keys2
         self.cap2 = cap2
+        self.lcs3 = _lcs3_jit(keys3, k)
         self.text = text  # host copy of the construction buffer
         meta = np.asarray(meta)  # ONE scalar-sized fetch
         self.n_rows = int(meta[0])

@@ -386,24 +386,60 @@ def _evaluate_gaps(
     uniq = iv[:, 1] - iv[:, 0] == 1
 
     # ---- phase B: candidate table (gap id, position, row), descending pos
-    gidx_parts: list[np.ndarray] = []
-    pos_cand_parts: list[np.ndarray] = []
-    row_cand_parts: list[np.ndarray] = []
-    for gi, g in enumerate(gaps):
-        if g.search_hi < g.search_lo:
-            continue
-        lo = np.searchsorted(all_pos, g.search_lo)
-        hi = np.searchsorted(all_pos, g.search_hi, side="right")
-        sel = np.flatnonzero(uniq[lo:hi]) + lo
-        sel = sel[::-1]  # descending position = reference scan order
-        gidx_parts.append(np.full(sel.size, gi, dtype=np.int64))
-        pos_cand_parts.append(all_pos[sel])
-        row_cand_parts.append(iv[sel, 0])
-    if not gidx_parts:
+    # per gap. Fully vectorized: per-gap unique-candidate spans come from
+    # two batched searchsorted calls over the compacted unique positions,
+    # then one repeat/arange expansion emits every (gap, candidate) pair
+    # in the reference's descending scan order.
+    uniq_idx = np.flatnonzero(uniq)
+    search_lo = np.asarray([g.search_lo for g in gaps], dtype=np.int64)
+    search_hi = np.asarray([g.search_hi for g in gaps], dtype=np.int64)
+    lo_u = np.searchsorted(uniq_idx, np.searchsorted(all_pos, search_lo))
+    hi_u = np.searchsorted(
+        uniq_idx, np.searchsorted(all_pos, search_hi, side="right")
+    )
+    counts = np.maximum(hi_u - lo_u, 0) * (search_hi >= search_lo)
+    C = int(counts.sum())
+    if C == 0:
         return [None] * n_gaps
-    gidx = np.concatenate(gidx_parts)
-    jpos = np.concatenate(pos_cand_parts)
-    rows = np.concatenate(row_cand_parts)
+    gidx = np.repeat(np.arange(n_gaps, dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(C, dtype=np.int64) - starts[gidx]
+    sel = uniq_idx[hi_u[gidx] - 1 - within]  # descending position per gap
+    jpos = all_pos[sel]
+    rows = iv[sel, 0]
+    return _score_candidates(gaps, gidx, jpos, rows, ref_codes, sbwt)
+
+
+def _candidates_from_grid(
+    gaps: list[_GapTask], grid: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(gidx, jpos, rows) candidate table from a device probe grid
+    (kernels.mapsweep.gap_probe_grid): grid[g, c] is the colex row of
+    position search_lo_g + c when unique, else -1. Emitted gap-major with
+    descending position per gap -- the reference's scan order."""
+    n_gaps = len(gaps)
+    W = grid.shape[1]
+    lo = np.asarray([g.search_lo for g in gaps], dtype=np.int64)
+    gi, c_rev = np.nonzero(grid[:n_gaps, ::-1] >= 0)
+    cols = W - 1 - c_rev  # descending within each gap row
+    jpos = lo[gi] + cols
+    rows = grid[gi, cols].astype(np.int64)
+    return gi.astype(np.int64), jpos, rows
+
+
+def _score_candidates(
+    gaps: list[_GapTask],
+    gidx: np.ndarray,
+    jpos: np.ndarray,
+    rows: np.ndarray,
+    ref_codes: np.ndarray,
+    sbwt: SbwtIndex,
+) -> list[np.ndarray | None]:
+    """Phases C-E of the gap evaluation: k-mer texts + vectorized overlap
+    runs, lane-batched left extension, first-success-per-gap commit."""
+    k = sbwt.k
+    n_ref = ref_codes.size
+    n_gaps = len(gaps)
     C = gidx.size
     if C == 0:
         return [None] * n_gaps
@@ -555,6 +591,7 @@ def fill_gaps_patches(
     query_sbwt: SbwtIndex,
     threshold: int,
     max_err_prob: float,
+    grid: np.ndarray | None = None,
 ) -> list[tuple[int, int]]:
     """Evaluate gap runs and return fill writes as (position, ascii) patches.
 
@@ -594,7 +631,15 @@ def fill_gaps_patches(
             )
         )
 
-    fills = _evaluate_gaps(tasks, ivals, ref_codes, query_sbwt)
+    if grid is not None:
+        # device probe grid (kernels.mapsweep.gap_probe_grid): candidates
+        # are already resolved; no interval provider reads at all
+        gidx, jpos, rows = _candidates_from_grid(tasks, np.asarray(grid))
+        fills = _score_candidates(
+            tasks, gidx, jpos, rows, ref_codes, query_sbwt
+        )
+    else:
+        fills = _evaluate_gaps(tasks, ivals, ref_codes, query_sbwt)
 
     stats = get_stats()
     for task, fill in zip(tasks, fills):

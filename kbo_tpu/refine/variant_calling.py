@@ -128,6 +128,8 @@ def call_variants(
     noisy_ms: np.ndarray | None = None,
     ivals=None,
     drops: np.ndarray | None = None,
+    anchors: np.ndarray | None = None,
+    anchor_rows: np.ndarray | None = None,
     mesh=None,
 ) -> list[Variant]:
     """Call all variants between `query` and the reference index.
@@ -144,7 +146,10 @@ def call_variants(
     anchor-window interval fetch reuses (and feeds) the gap filler's cache;
     ``drops`` precomputed MS-drop positions (the sparse-fetch map sweep
     compacts them on device), which together with ``ivals`` lets this run
-    without ever materializing the full MS vector on host.
+    without ever materializing the full MS vector on host. ``anchors`` /
+    ``anchor_rows`` (aligned with ``drops``, -1 = unanchored) skip phase 2
+    entirely -- the map path resolves them on device
+    (kernels.mapsweep.anchor_scan).
     """
     from kbo_tpu import engine
     from kbo_tpu.index.encode import decode_codes
@@ -177,7 +182,12 @@ def call_variants(
     # interval. Intervals are only needed at the candidate anchor windows, so
     # they are computed sparsely (SURVEY §7.3 two-phase sparse refinement).
     anchor = np.full(drops.size, -1, dtype=np.int64)
-    if ivals is not None:
+    pre_rows = None
+    if anchors is not None:
+        # resolved on device (kernels.mapsweep.anchor_scan); aligned with drops
+        anchor = np.asarray(anchors, dtype=np.int64)
+        pre_rows = np.asarray(anchor_rows, dtype=np.int64)
+    elif ivals is not None:
         # round-based: almost every drop anchors within a few positions (MS
         # recovers right after the variant), so probing all k offsets per
         # drop wastes ~k/8 of the probe traffic; take 8-offset rounds and
@@ -233,7 +243,9 @@ def call_variants(
     # gather over the encoded query ('$'-padding for anchors < k-1,
     # reference: src/variant_calling.rs:46-58); the raw ASCII windows ride
     # along so resolve output slices preserve original bytes exactly.
-    if ivals is not None:
+    if pre_rows is not None:
+        anchor_rows = pre_rows[sel]
+    elif ivals is not None:
         anchor_rows = ivals.get_batch(anchors)[:, 0]
     else:
         anchor_rows = cand_iv[np.searchsorted(cand, anchors), 0]
