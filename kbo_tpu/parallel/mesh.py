@@ -220,6 +220,95 @@ def map_sweep_compact_sharded(dev, codes, lengths, threshold, mesh: Mesh):
     )
 
 
+# ------------------------------------------- prefix-sharded index placement
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _index_sharded_matches(keys2, cap2, codes, lengths, k: int, threshold,
+                           mesh):
+    """Queries replicated, the key TABLE sharded over the ``model`` axis.
+
+    Each device holds a contiguous colex range of the sorted join keys (=
+    a k-mer prefix range in colex order) and computes the clamped-LCP
+    neighbor-best of every query position against ITS rows only; the true
+    MS value is the elementwise maximum across shards (`psum`-style
+    tree reduction via lax.pmax over ICI) -- exact because the global
+    best neighbor lives in exactly one shard and clamping commutes with
+    max. Derandomize/translate then run on the reduced values (replicated
+    work, one sequence's worth per device).
+    """
+    from kbo_tpu.kernels.ms import ms2_core
+    from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
+
+    def shardfn(k2, c2, co, le, th):
+        Q, L = co.shape
+        pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+        buf = jnp.concatenate([pad, co], axis=1).reshape(-1)
+        stride = L + k - 1
+        ms_local = ms2_core(k2, c2, buf, k).reshape(Q, stride)[:, k - 1 :]
+        ms = jax.lax.pmax(ms_local, "model")
+        derand = jax.vmap(
+            lambda m, n: derandomize_core(m, k, th, n)
+        )(ms, le)
+        chars = jax.vmap(lambda d, n: translate_core(d, k, th, n))(derand, le)
+        return chars, ms
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(P(None, "model"), P("model"), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(keys2, cap2, codes, lengths, threshold)
+
+
+def matches_batch_index_sharded(
+    index: SbwtIndex,
+    code_list: list[np.ndarray],
+    threshold: int,
+    mesh: Mesh | None = None,
+):
+    """Batched matches with PREFIX-SHARDED index placement (SURVEY §2.3
+    row 2's larger-than-HBM alternative): the colex-sorted key table
+    splits into contiguous per-device ranges, so each device stores
+    1/n of the index; queries replicate and per-shard partial MS values
+    reduce with one `pmax` collective. Output is bit-identical to the
+    replicated path (tests/test_parallel.py pins it).
+    """
+    mesh = mesh or make_mesh(axis="model")
+    axis = mesh.axis_names[0]
+    assert axis == "model", "index sharding expects a 'model' mesh axis"
+    n = mesh.devices.size
+    codes, lengths = pad_batch(code_list)
+
+    from kbo_tpu.engine import device_index
+
+    dev = device_index(index)
+    rows = int(dev.keys2.shape[1])
+    rows_p = ((rows + n - 1) // n) * n
+    keys2 = np.asarray(dev.keys2)
+    cap2 = np.asarray(dev.cap2)
+    if rows_p != rows:
+        # sentinel-pad to an even split: cap-0 rows contribute nothing to
+        # the clamped-LCP scan (the DeviceFullIndex convention)
+        keys2 = np.pad(
+            keys2, ((0, 0), (0, rows_p - rows)), constant_values=0xFFFFFFFF
+        )
+        cap2 = np.pad(cap2, (0, rows_p - rows))
+    chars, ms = _index_sharded_matches(
+        put_global(mesh, P(None, "model"), keys2),
+        put_global(mesh, P("model"), cap2),
+        put_global(mesh, P(), codes),
+        put_global(mesh, P(), lengths),
+        dev.k,
+        jnp.int32(threshold),
+        mesh,
+    )
+    chars = np.asarray(chars).astype(np.uint8)
+    return [chars[i, : c.size] for i, c in enumerate(code_list)]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_ms2_batch(keys2, cap2, buf2d, k: int, mesh):
     from kbo_tpu.kernels.ms import ms2_core

@@ -45,6 +45,28 @@ def test_single_vs_multi_device_parity():
         np.testing.assert_array_equal(a, b)
 
 
+def test_index_sharded_matches_parity():
+    """Prefix-sharded index placement (SURVEY §2.3 row 2's >HBM
+    alternative): each device holds a colex range of the key table;
+    per-shard partial MS values pmax-reduce. Must be bit-identical to the
+    replicated single-device path."""
+    from kbo_tpu.parallel.mesh import matches_batch_index_sharded
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(9)
+    ref = BASES[rng.integers(0, 4, 3000)].tobytes()
+    sbwt = build([ref], BuildOpts(k=21))
+    t = random_match_threshold(21, sbwt.n_kmers, 4, 1e-7)
+    queries = _mk_queries(rng, ref, 9)
+
+    single = matches_batch(sbwt, queries, t)
+    mesh8 = make_mesh(8, axis="model")
+    sharded = matches_batch_index_sharded(sbwt, queries, t, mesh=mesh8)
+    assert len(single) == len(sharded) == 9
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pipeline_vs_scalar_oracle():
     rng = np.random.default_rng(6)
     ref = BASES[rng.integers(0, 4, 1500)].tobytes()
