@@ -334,22 +334,56 @@ def _map_batch_sparse(
             lengths = np.pad(lengths, (0, Qp - lengths.size))
     Q, L = codes.shape
 
+    import os
+
+    import jax as _jax
+
+    # The fused 3-bit sweep is the fast path, but its XLA:TPU compile time
+    # explodes superlinearly beyond ~3M positions (>20 min at 4.6M on the
+    # remote compiler vs ~2 min for the classic 2-bit sweep); gate by size
+    # so genome-scale single-shot runs stay on the proven-compile path.
+    # KBO_TPU_MAP_FUSED=1 forces fused, =0 forces classic.
+    fused_env = os.environ.get("KBO_TPU_MAP_FUSED", "auto")
+    on_tpu = _jax.devices()[0].platform == "tpu"
+    use_fused = mesh is None and (
+        fused_env == "1"
+        or (fused_env == "auto" and not (on_tpu and L > 3_000_000))
+    )
+
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
         # optimistic capacities: only a denser-than-1-per-512-bases input
         # pays a second exactly-sized pass
         cap_d = cap_g = _pow2_cap(L // 512)
         scan_block = None
-        if mesh is not None:
-            from kbo_tpu.parallel.mesh import map_sweep_compact_sharded
+        if mesh is not None or not use_fused:
+            if mesh is not None:
+                from kbo_tpu.parallel.mesh import map_sweep_compact_sharded
 
-            codes_dev, (
-                chars_dev,
-                ms_dev,
-                counts_dev,
-                drop_pos_dev,
-                gap_start_dev,
-                gap_end_dev,
-            ) = map_sweep_compact_sharded(dev, codes, lengths, threshold, mesh)
+                codes_dev, (
+                    chars_dev,
+                    ms_dev,
+                    counts_dev,
+                    drop_pos_dev,
+                    gap_start_dev,
+                    gap_end_dev,
+                ) = map_sweep_compact_sharded(
+                    dev, codes, lengths, threshold, mesh
+                )
+            else:  # classic single-device 2-bit sweep (see gate above)
+                from kbo_tpu.kernels.mapsweep import map_sweep_compact
+
+                codes_dev = jnp.asarray(codes)
+                (
+                    chars_dev,
+                    ms_dev,
+                    counts_dev,
+                    drop_pos_dev,
+                    gap_start_dev,
+                    gap_end_dev,
+                ) = map_sweep_compact(
+                    dev.keys2, dev.cap2, codes_dev,
+                    jnp.asarray(lengths), k, jnp.int32(threshold),
+                )
             packed = np.asarray(
                 fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
                                  gap_end_dev, cap_d, cap_g)
@@ -426,7 +460,7 @@ def _map_batch_sparse(
             if opts.fill_gaps and runs:
                 grid = scan[2 * cap_d :].reshape(cap_g, k + 1)
         else:
-            # mesh path: one union interval prefetch; anchor rounds and the
+            # mesh / classic path: one union interval prefetch; anchor rounds and the
             # gap evaluator read from the provider's cache
             probe_parts = []
             if opts.fill_gaps and runs:
