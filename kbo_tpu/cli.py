@@ -42,6 +42,9 @@ def _build_opts(args, build_select=False) -> BuildOpts:
         add_revcomp=getattr(args, "add_revcomp", False),
         num_threads=getattr(args, "threads", 1),
         build_select=build_select,
+        temp_dir=getattr(args, "temp_dir", None),
+        mem_gb=getattr(args, "mem_gb", 4),
+        dedup_batches=getattr(args, "dedup_batches", False),
     )
 
 
@@ -299,6 +302,13 @@ def make_parser() -> argparse.ArgumentParser:
     common(sp, reference_required=False)
     sp.add_argument("-o", "--output", required=True, help="output prefix")
     sp.add_argument("--add-revcomp", action="store_true")
+    sp.add_argument(
+        "--temp-dir",
+        help="disk-backed k-mer sorting in this directory "
+        "(the reference's BitPackedKmerSorting)",
+    )
+    sp.add_argument("--mem-gb", dest="mem_gb", type=int, default=4)
+    sp.add_argument("--dedup-batches", action="store_true")
     sp.add_argument(
         "--format",
         choices=("npz", "sbwt"),

@@ -187,6 +187,21 @@ def build_index_from_segments(
     w2 = [w[order][sel] for w in w2]
     v = v[order][sel]
     row_pos = pos[order][sel]
+    return _finish_index_from_sorted(buf, k, w3, w2, v, row_pos, num_threads)
+
+
+def _finish_index_from_sorted(
+    buf: np.ndarray,
+    k: int,
+    w3: list[np.ndarray],
+    w2: list[np.ndarray],
+    v: np.ndarray,
+    row_pos: np.ndarray,
+    num_threads: int = 1,
+) -> SbwtIndex:
+    """Construction tail shared by the in-memory and disk-backed builds:
+    inputs are the colex-sorted deduplicated row keys."""
+    W3 = (k + 9) // 10
     n = w3[0].size
 
     # LCS: common suffix of colex-adjacent rows == common packed chunks
@@ -269,6 +284,154 @@ def build_index_from_segments(
     )
 
 
+def build_index_from_segments_disk(
+    segments: list[np.ndarray],
+    k: int,
+    temp_dir: str,
+    mem_gb: int = 4,
+    dedup_batches: bool = False,
+    num_threads: int = 1,
+) -> SbwtIndex:
+    """Disk-backed construction: the reference's ``BitPackedKmerSorting``
+    execution plan (reference: src/index.rs:64-81 -- ``temp_dir``,
+    ``mem_gb``, ``dedup_batches``).
+
+    The colex sort's working set is what blows up the in-memory build
+    (packed keys + lexsort scratch are several times the final index);
+    here positions are packed in ``mem_gb``-bounded chunks and scattered
+    to 256 temp-file buckets by the top byte of the leading key word
+    (= the most recent ~2.7 characters, so buckets are contiguous colex
+    ranges). Each bucket then sorts and deduplicates in memory (equal
+    keys always share a bucket) and the concatenated buckets feed the
+    SAME downstream construction as the in-memory path -- the output is
+    bit-identical (tests/test_index.py pins it). ``dedup_batches``
+    additionally deduplicates each chunk before writing, shrinking temp
+    files for repetitive inputs at the cost of a sort per chunk.
+    """
+    import os
+    import tempfile
+
+    assert segments, "cannot build an index from empty input"
+    assert 1 < k < 256, "k must be in (1, 256)"
+    W3 = (k + 9) // 10
+    W2 = (k + 15) // 16
+
+    parts = []
+    for seg in segments:
+        parts.append(np.zeros(k, dtype=np.uint8))
+        parts.append(np.asarray(seg, dtype=np.uint8))
+    buf = np.concatenate(parts)
+    T = buf.size
+
+    # packed row record: W3 + W2 uint32 words, v int32, pos int64
+    rec = np.dtype(
+        [("w3", np.uint32, (W3,)), ("w2", np.uint32, (W2,)),
+         ("v", np.int32), ("pos", np.int64)]
+    )
+    # chunk size: keep the pass-1 working set (packed words + scratch,
+    # ~10x the record bytes) within the budget
+    chunk = max(1 << 16, int(mem_gb * (1 << 30) / (10 * rec.itemsize)))
+
+    os.makedirs(temp_dir, exist_ok=True)
+    with tempfile.TemporaryDirectory(
+        prefix="kbo-bpks-", dir=temp_dir
+    ) as tdir:
+        files = [
+            open(os.path.join(tdir, f"bucket{b:03d}.bin"), "wb")
+            for b in range(256)
+        ]
+        try:
+            for s in range(0, T, chunk):
+                e = min(T, s + chunk)
+                # pack windows for positions [s, e): slice with k-1 left
+                # overlap so windows are complete
+                lo = max(0, s - (k - 1))
+                w3c, w2c, vc = _pack_positions(buf[lo:e], k)
+                off = s - lo
+                # selected rows: the root '$' row + every non-'$' position
+                selm = buf[s:e] != 0
+                if s <= k - 1 < e:
+                    selm = selm.copy()
+                    selm[k - 1 - s] = True
+                sel = np.flatnonzero(selm) + off
+                if s > 0:
+                    # v in the slice is clamped by the slice start; the
+                    # left overlap guarantees correctness only when a '$'
+                    # occurs within the overlap -- recompute from the
+                    # global buffer for the selected rows
+                    gpos = sel + lo
+                    vg = np.minimum(
+                        np.int64(k),
+                        gpos - _last_invalid_before(buf, gpos),
+                    ).astype(np.int32)
+                else:
+                    gpos = sel + lo
+                    vg = vc[sel]
+                out = np.empty(sel.size, dtype=rec)
+                for w in range(W3):
+                    out["w3"][:, w] = w3c[w][sel]
+                for w in range(W2):
+                    out["w2"][:, w] = w2c[w][sel]
+                out["v"] = vg
+                out["pos"] = gpos
+                if dedup_batches and out.size:
+                    key = np.ascontiguousarray(out["w3"]).view(
+                        f"|S{4 * W3}"
+                    ).ravel()
+                    order = np.argsort(key, kind="stable")
+                    out = out[order]
+                    keyo = key[order]
+                    keep = np.ones(out.size, dtype=bool)
+                    keep[1:] = keyo[1:] != keyo[:-1]
+                    out = out[keep]
+                tops = out["w3"][:, 0] >> np.uint32(24)
+                for b in np.unique(tops):
+                    files[int(b)].write(out[tops == b].tobytes())
+        finally:
+            for f in files:
+                f.close()
+
+        # pass 2: per-bucket in-memory sort + dedup, in colex bucket order
+        w3_parts, w2_parts, v_parts, pos_parts = [], [], [], []
+        for b in range(256):
+            path = os.path.join(tdir, f"bucket{b:03d}.bin")
+            data = np.fromfile(path, dtype=rec)
+            if data.size == 0:
+                continue
+            bw3 = [np.ascontiguousarray(data["w3"][:, w]) for w in range(W3)]
+            order = _lexsort_words(bw3, num_threads)
+            data = data[order]
+            keep = np.ones(data.size, dtype=bool)
+            if data.size > 1:
+                eq = np.ones(data.size - 1, dtype=bool)
+                for w in range(W3):
+                    eq &= data["w3"][1:, w] == data["w3"][:-1, w]
+                keep[1:] = ~eq
+            data = data[keep]
+            w3_parts.append(np.ascontiguousarray(data["w3"]))
+            w2_parts.append(np.ascontiguousarray(data["w2"]))
+            v_parts.append(data["v"].copy())
+            pos_parts.append(data["pos"].copy())
+
+    w3_mat = np.concatenate(w3_parts)
+    w2_mat = np.concatenate(w2_parts)
+    w3 = [np.ascontiguousarray(w3_mat[:, w]) for w in range(W3)]
+    w2 = [np.ascontiguousarray(w2_mat[:, w]) for w in range(W2)]
+    v = np.concatenate(v_parts)
+    row_pos = np.concatenate(pos_parts)
+    return _finish_index_from_sorted(
+        buf, k, w3, w2, v, row_pos, num_threads
+    )
+
+
+def _last_invalid_before(buf: np.ndarray, gpos: np.ndarray) -> np.ndarray:
+    """For each global position, the index of the last '$' at-or-before it
+    (buf always starts with k '$'s, so one exists)."""
+    dollars = np.flatnonzero(buf == 0)
+    loc = np.searchsorted(dollars, gpos, side="right") - 1
+    return dollars[loc]
+
+
 def build_sbwt_from_seqs(seqs, opts: BuildOpts | None = None) -> SbwtIndex:
     """Build an SBWT index from ASCII sequences.
 
@@ -287,4 +450,11 @@ def build_sbwt_from_seqs(seqs, opts: BuildOpts | None = None) -> SbwtIndex:
         segments.extend(split_segments(encode_ascii(seq)))
         if opts.add_revcomp:
             segments.extend(split_segments(encode_ascii(revcomp_ascii(seq))))
+    if opts.temp_dir is not None:
+        # disk-backed k-mer sorting (reference: src/index.rs:64-81)
+        return build_index_from_segments_disk(
+            segments, opts.k, opts.temp_dir,
+            mem_gb=opts.mem_gb, dedup_batches=opts.dedup_batches,
+            num_threads=opts.num_threads,
+        )
     return build_index_from_segments(segments, opts.k, opts.num_threads)

@@ -25,9 +25,14 @@ class BuildOpts:
       lookup table to precompute (it replaces interval extension entirely),
       so the value is unused by design.
     - ``mem_gb``, ``dedup_batches``, ``temp_dir``: the reference's
-      external-memory sorting knobs; construction here is one vectorized
-      in-memory sort (bacterial-scale inputs are tens of MB), so these are
-      accepted but inert.
+      external-memory sorting knobs (src/index.rs:64-81). Setting
+      ``temp_dir`` switches construction to the disk-backed bucketed
+      k-mer sort (index/build.build_index_from_segments_disk):
+      ``mem_gb`` bounds the pass-1 packing working set and
+      ``dedup_batches`` deduplicates each chunk before it is written,
+      mirroring ``BitPackedKmerSorting``. Without ``temp_dir`` the
+      build is one vectorized in-memory sort and the other two knobs
+      are unused (the ``BitPackedKmerSortingMem`` analogue).
     """
 
     k: int = 31

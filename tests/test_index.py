@@ -132,3 +132,40 @@ def test_threaded_build_parity():
     np.testing.assert_array_equal(a.lcs, b.lcs)
     np.testing.assert_array_equal(a.keys2, b.keys2)
     np.testing.assert_array_equal(a.keys3, b.keys3)
+
+
+def test_disk_backed_build_matches_memory():
+    """BitPackedKmerSorting analogue (reference: src/index.rs:64-81):
+    temp_dir switches to the bucketed disk sort; output must be
+    bit-identical to the in-memory build across every index field,
+    exercising multiple pass-1 chunks (mem_gb=0 floors the chunk at 64k
+    positions) and both dedup_batches modes."""
+    import tempfile
+
+    import numpy as np
+
+    from kbo_tpu import BuildOpts
+    from kbo_tpu.index.build import build_sbwt_from_seqs
+
+    rng = np.random.default_rng(44)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [
+        bases[rng.integers(0, 4, 150_000)].tobytes(),
+        bases[rng.integers(0, 4, 3_000)].tobytes() * 3,  # repetitive
+        (bases[rng.integers(0, 4, 800)].tobytes() + b"NNN"
+         + bases[rng.integers(0, 4, 1_200)].tobytes()),
+    ]
+    fields = ("bits", "cum", "C", "lcs", "keys2", "cap2", "keys3",
+              "row_pos", "text")
+    mem = build_sbwt_from_seqs(seqs, BuildOpts(k=31))
+    with tempfile.TemporaryDirectory() as td:
+        for dedup in (False, True):
+            disk = build_sbwt_from_seqs(
+                seqs,
+                BuildOpts(k=31, temp_dir=td, mem_gb=0, dedup_batches=dedup),
+            )
+            assert (disk.n_rows, disk.n_kmers) == (mem.n_rows, mem.n_kmers)
+            for f in fields:
+                np.testing.assert_array_equal(
+                    getattr(disk, f), getattr(mem, f), err_msg=f
+                )
