@@ -1,8 +1,11 @@
 """FASTA/FASTQ reading with transparent gzip support.
 
-The reference reads inputs via needletail and supports DEFLATE compression
-(reference: src/lib.rs:52-54); we mirror: plain or gzip FASTA/FASTQ, format
-sniffed from the first byte.
+The reference reads inputs via needletail, a native parser, and supports
+DEFLATE compression (reference: src/lib.rs:52-54); we mirror both: plain
+or gzip FASTA/FASTQ sniffed from the first byte, scanned by the native
+C++ parser (csrc/fastx.cpp via ctypes, one pass, sequence bytes compacted
+in C) with this module's pure-Python parser as the fallback and the
+differential test oracle (tests/test_io.py).
 """
 
 from __future__ import annotations
@@ -10,6 +13,8 @@ from __future__ import annotations
 import gzip
 import io
 import pathlib
+
+import numpy as np
 
 
 def _open(path):
@@ -21,8 +26,73 @@ def _open(path):
     return raw
 
 
+def _read_raw(path) -> bytes:
+    """Whole file, gunzipped if needed (the native scanner wants a flat
+    buffer; bacterial-scale inputs are tens of MB)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    return data
+
+
+def _read_fastx_native(path) -> list[tuple[str, bytes]] | None:
+    from kbo_tpu import native
+
+    if not native.available():
+        return None
+    lib = native.lib()
+    scan = getattr(
+        lib, "fastx_scan_fasta", None
+    )  # older .so without the scanner
+    if scan is None:
+        return None
+    data = _read_raw(path)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        raise ValueError(f"{path}: not a FASTA/FASTQ file")
+    first = bytes(buf[:1])
+    fn = lib.fastx_scan_fasta if first == b">" else lib.fastx_scan_fastq
+    if first not in (b">", b"@"):
+        raise ValueError(f"{path}: not a FASTA/FASTQ file")
+    import ctypes
+
+    n = int(fn(buf, np.int64(buf.size), None, None, np.int64(0)))
+    if n < 0:
+        raise ValueError(f"malformed FASTA/FASTQ record in {path}")
+    out = np.empty(buf.size, dtype=np.uint8)
+    recs = np.empty(4 * max(n, 1), dtype=np.int64)
+    n2 = int(
+        fn(
+            buf,
+            np.int64(buf.size),
+            out.ctypes.data_as(ctypes.c_void_p),
+            recs.ctypes.data_as(ctypes.c_void_p),
+            np.int64(n),
+        )
+    )
+    assert n2 == n
+    recs = recs[: 4 * n].reshape(n, 4)
+    return [
+        (
+            data[r[0] : r[0] + r[1]].decode(errors="replace"),
+            out[r[2] : r[2] + r[3]].tobytes(),
+        )
+        for r in recs
+    ]
+
+
 def read_fastx(path) -> list[tuple[str, bytes]]:
     """Parse a FASTA or FASTQ file -> [(record name, sequence bytes)]."""
+    path = pathlib.Path(path)
+    native_records = _read_fastx_native(path)
+    if native_records is not None:
+        return native_records
+    return read_fastx_py(path)
+
+
+def read_fastx_py(path) -> list[tuple[str, bytes]]:
+    """Pure-Python parser: the native scanner's fallback and test oracle."""
     path = pathlib.Path(path)
     records: list[tuple[str, bytes]] = []
     with _open(path) as fh:

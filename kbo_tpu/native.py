@@ -79,12 +79,25 @@ def _load():
         i64p, i32p, i32p, u8p, u8p, ctypes.c_int64,
     ]
     lib.kbo_call_variants.restype = ctypes.c_int64
+    if hasattr(lib, "fastx_scan_fasta"):  # added after the round-1 .so
+        for name in ("fastx_scan_fasta", "fastx_scan_fastq"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                u8p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            fn.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def lib():
+    """The loaded ctypes library (None when the toolchain is unavailable)."""
+    return _load()
 
 
 def ms_stream(index, codes: np.ndarray):
