@@ -30,7 +30,12 @@ import math
 
 import numpy as np
 
-from kbo_tpu.index.encode import DOLLAR, decode_codes, encode_ascii
+from kbo_tpu.index.encode import (
+    CODE_TO_ASCII,
+    DOLLAR,
+    decode_codes,
+    encode_ascii,
+)
 from kbo_tpu.index.sbwt import SbwtIndex
 from kbo_tpu.ops.derandomize import log_rm_max_cdf
 from kbo_tpu.utils.stats import get_stats
@@ -642,37 +647,47 @@ def fill_gaps_patches(
         fills = _evaluate_gaps(tasks, ivals, ref_codes, query_sbwt)
 
     stats = get_stats()
+    pos_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
     for task, fill in zip(tasks, fills):
         stats.add("gaps_seen")
         gs, ge = task.gap_start, task.gap_end
         gap_len = ge - gs
         kmer = fill if fill is not None else np.zeros(0, dtype=np.uint8)
         L = kmer.size
-        kmer_found = L > 0 and not (kmer == DOLLAR).any()
-        no_indels = L == 2 * threshold + gap_len
+        if L == 0 or L != 2 * threshold + gap_len or (kmer == DOLLAR).any():
+            continue  # not found / '$'-containing / indel-length: rejected
 
-        seg = kmer[min(threshold, L) : min(threshold + gap_len, L)]
-        m = min(seg.size, gap_len)
-        matching = seg[:m] == ref_codes[gs : gs + m]
+        seg = kmer[threshold : threshold + gap_len]
+        matching = seg == ref_codes[gs:ge]
 
-        fits_without_extension = gap_len + 2 * threshold <= k
-        fill_overlaps = _run_log_prob(matching, bound)
-        fill_flanked = (
-            matching.size > 0
-            and not matching[0]
-            and not matching[-1]
-            and int(matching.sum()) + 2 == gap_len
-        )
-        if kmer_found and no_indels and (
-            fits_without_extension or fill_overlaps or fill_flanked
-        ):
+        # acceptance (reference: src/gap_filling.rs:476-509); the run
+        # probability analysis only matters when the k-mer cannot span the
+        # gap + both flanks (gap_len + 2*threshold > k)
+        ok = gap_len + 2 * threshold <= k
+        if not ok:
+            ok = _run_log_prob(matching, bound) or (
+                matching.size > 0
+                and not matching[0]
+                and not matching[-1]
+                and int(matching.sum()) + 2 == gap_len
+            )
+        if ok:
             stats.add("gaps_filled")
-            filler = decode_codes(kmer[threshold : threshold + gap_len])
-            for t in range(gs, ge):
-                ch = filler[t - gs]
-                patches.append(
-                    (t, ord("M") if ch == ref_seq[t] else ch)
-                )
+            # paint: 'M' where the filler agrees with the RAW reference
+            # bytes (ASCII comparison, distinct from the code-space
+            # acceptance comparison above -- a lowercase reference char
+            # never paints 'M'), the filler nucleotide where it does not
+            filler = CODE_TO_ASCII[seg]
+            ref_ascii = np.frombuffer(ref_seq, dtype=np.uint8)[gs:ge]
+            pos_parts.append(np.arange(gs, ge, dtype=np.int64))
+            val_parts.append(
+                np.where(filler == ref_ascii, np.uint8(ord("M")), filler)
+            )
+    if pos_parts:
+        pos = np.concatenate(pos_parts)
+        val = np.concatenate(val_parts)
+        patches.extend(zip(pos.tolist(), val.tolist()))
     return patches
 
 
