@@ -137,3 +137,30 @@ def test_delta_run_reconstruction():
         e_local = min(e - q * L, len(got[q]))
         got[q][s - q * L : e_local] = bytes([v]) * (e_local - (s - q * L))
     assert [bytes(g) for g in got] == want
+
+
+def test_classic_and_fused_map_paths_identical(monkeypatch):
+    """The size gate (api._map_batch_sparse) switches between the fused
+    3-bit sweep and the classic 2-bit sweep + interval-prefetch flow;
+    both must produce byte-identical map output."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build
+    from kbo_tpu.api import map_batch
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bytearray(bases[rng.integers(0, 4, 30_000)].tobytes())
+    query = bytearray(ref)
+    for p in range(1_000, 29_000, 2_000):
+        query[p] = bases[rng.integers(0, 4)]
+    del query[15_000:15_003]
+    bo = BuildOpts(k=51, build_select=True)
+    idx = build([bytes(query)], bo)
+    opts = MapOpts(sbwt_build_opts=bo)
+
+    monkeypatch.setenv("KBO_TPU_MAP_FUSED", "1")
+    fused = map_batch([bytes(ref)], idx, opts)
+    monkeypatch.setenv("KBO_TPU_MAP_FUSED", "0")
+    classic = map_batch([bytes(ref)], idx, opts)
+    assert fused == classic
