@@ -53,10 +53,39 @@ def main():
     assert m.devices.size == 4
     chars = pmesh.matches_batch_sharded(index, queries, thr, mesh=m)
     digest = hashlib.sha256(b"".join(c.tobytes() for c in chars)).hexdigest()
+
+    # map across hosts: per-ref-sequence independence makes map
+    # embarrassingly parallel at the contig level -- each process maps
+    # its own partition on local devices, and the deterministic merge is
+    # one allgather of the per-process outputs (SURVEY §2.3 "collective
+    # result merge"; no global-mesh sweep needed)
+    from kbo_tpu import MapOpts, api
+
+    bo = BuildOpts(k=31, build_select=True)
+    qidx = build([genome], bo)
+    refs = []
+    for i in range(4):
+        r = bytearray(genome[i * 4000 : i * 4000 + 3000])
+        r[1500] = bases[(bases.tolist().index(r[1500]) + 1) % 4]
+        refs.append(bytes(r))
+    mine = refs[jax.process_index()::2]
+    opts = MapOpts(fill_gaps=False, call_variants=False,
+                   sbwt_build_opts=bo)
+    local_out = api.map_batch(mine, qidx, opts)
+    import numpy as np2
+
+    from jax.experimental import multihost_utils
+
+    local_digest = np2.frombuffer(
+        hashlib.sha256(b"".join(local_out)).digest(), dtype=np2.uint8
+    )
+    all_digests = np2.asarray(
+        multihost_utils.process_allgather(local_digest)
+    )  # [2, 32] in process order: the deterministic merge
+    map_digest = hashlib.sha256(all_digests.tobytes()).hexdigest()
+
     with open(out_path, "w") as f:
-        f.write(digest)
-    distributed_ok = distributed.gather_to_host is not None
-    assert distributed_ok
+        f.write(digest + "\n" + map_digest)
     jax.distributed.shutdown()
 
 

@@ -45,7 +45,31 @@ def _single_process_digest() -> str:
         q[700] = bases[(bases.tolist().index(q[700]) + 1) % 4]
         queries.append(encode_ascii(bytes(q)))
     chars = pmesh.matches_batch_sharded(index, queries, thr, mesh=pmesh.make_mesh())
-    return hashlib.sha256(b"".join(c.tobytes() for c in chars)).hexdigest()
+    matches_digest = hashlib.sha256(
+        b"".join(c.tobytes() for c in chars)
+    ).hexdigest()
+
+    # map: same contig-level partition the 2-process workers use
+    from kbo_tpu import MapOpts, api
+
+    bo = BuildOpts(k=31, build_select=True)
+    qidx = build([genome], bo)
+    refs = []
+    for i in range(4):
+        r = bytearray(genome[i * 4000 : i * 4000 + 3000])
+        r[1500] = bases[(bases.tolist().index(r[1500]) + 1) % 4]
+        refs.append(bytes(r))
+    opts = MapOpts(fill_gaps=False, call_variants=False, sbwt_build_opts=bo)
+    parts = []
+    for pid in range(2):
+        out = api.map_batch(refs[pid::2], qidx, opts)
+        parts.append(
+            np.frombuffer(
+                hashlib.sha256(b"".join(out)).digest(), dtype=np.uint8
+            )
+        )
+    map_digest = hashlib.sha256(np.stack(parts).tobytes()).hexdigest()
+    return matches_digest + "\n" + map_digest
 
 
 @pytest.mark.slow
