@@ -81,3 +81,69 @@ def test_long_generated_testcase():
     assert len(calls) >= 0.95 * len(true_variants), (
         f"only {len(calls)} of {len(true_variants)} planted variants called"
     )
+
+
+@pytest.mark.slow
+def test_long_map_paint_matches_planted_truth():
+    """End-to-end map oracle at scale: with cleanly spaced SNPs and
+    deletions the expected output is derivable directly from the planted
+    truth -- reference base where the pair agrees, the QUERY base at SNP
+    sites (variant calling + add_variants), '-' where the query lost
+    bases (reference: src/lib.rs:720-761 pipeline semantics)."""
+    from kbo_tpu import MapOpts
+    from kbo_tpu.api import map_
+
+    rng = np.random.default_rng([77, 99])
+    n, spacing, k = 100_000, 200, 63
+    reference = bytearray(BASES[b] for b in rng.integers(0, 4, n))
+    # alternate SNPs and 3-base deletions, far enough apart to resolve;
+    # deletions excise at the end so earlier edit positions stay valid
+    query = bytearray(reference)
+    expected = bytearray(reference)
+    cut = []
+    for j, i in enumerate(range(spacing, n - spacing, spacing)):
+        if j % 2 == 0:
+            old = query[i]
+            new = _rand_nt(rng)
+            while new == old:
+                new = _rand_nt(rng)
+            query[i] = new
+            expected[i] = new
+        else:
+            cut.append(i)
+            expected[i : i + 3] = b"---"
+    for i in reversed(cut):
+        del query[i : i + 3]
+
+    bo = BuildOpts(k=k, build_select=True)
+    idx = build([bytes(query)], bo)
+    out = map_(bytes(reference), idx, MapOpts(sbwt_build_opts=bo))
+    assert len(out) == n
+
+    # deletions are subject to indel placement ambiguity (an equivalent
+    # left/right-shifted deletion describes the same edit), so the oracle
+    # is alignment-invariant:
+    # (a) removing the dashes must reproduce the QUERY exactly (full
+    #     coverage: every painted base is the query's base);
+    assert bytes(out).replace(b"-", b"") == bytes(query)
+    # (b) exactly 3 dashes per planted deletion;
+    assert bytes(out).count(b"-") == 3 * len(cut)
+    # (c) every dash sits within a few positions of a planted cut;
+    dash_pos = np.flatnonzero(np.frombuffer(out, np.uint8) == ord("-"))
+    cuts = np.asarray(cut)
+    near = np.min(
+        np.abs(dash_pos[:, None] - cuts[None, :]), axis=1
+    )
+    assert near.max(initial=0) <= 6, "a dash strayed from every planted cut"
+    # (d) positions away from any edit are untouched reference bases
+    snps = np.asarray(
+        [i for j, i in enumerate(range(spacing, n - spacing, spacing))
+         if j % 2 == 0]
+    )
+    edits = np.concatenate([cuts, snps])
+    away = np.ones(n, dtype=bool)
+    for e in edits:
+        away[max(0, e - 8) : e + 8] = False
+    out_arr = np.frombuffer(out, np.uint8)
+    ref_arr = np.frombuffer(bytes(reference), np.uint8)
+    np.testing.assert_array_equal(out_arr[away], ref_arr[away])
