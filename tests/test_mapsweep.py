@@ -164,3 +164,7 @@ def test_classic_and_fused_map_paths_identical(monkeypatch):
     monkeypatch.setenv("KBO_TPU_MAP_FUSED", "0")
     classic = map_batch([bytes(ref)], idx, opts)
     assert fused == classic
+    monkeypatch.delenv("KBO_TPU_MAP_FUSED")
+    monkeypatch.setenv("KBO_TPU_MAP_DENSE", "1")
+    dense = map_batch([bytes(ref)], idx, opts)
+    assert dense == fused
