@@ -39,7 +39,11 @@ int64_t fastx_scan_fasta(const uint8_t* buf, int64_t n, uint8_t* out,
             int64_t line_start = i;
             while (i < n && buf[i] != '\n') i++;
             int64_t line_end = i;
-            while (line_end > line_start && buf[line_end - 1] == '\r')
+            // match the Python oracle's rstrip(): trailing whitespace on a
+            // sequence line is not sequence
+            while (line_end > line_start &&
+                   (buf[line_end - 1] == '\r' || buf[line_end - 1] == ' ' ||
+                    buf[line_end - 1] == '\t'))
                 line_end--;
             if (out && line_end > line_start) {
                 memcpy(out + out_pos, buf + line_start,
@@ -78,7 +82,10 @@ int64_t fastx_scan_fastq(const uint8_t* buf, int64_t n, uint8_t* out,
         int64_t line_start = i;  // sequence line (single line per FASTQ)
         while (i < n && buf[i] != '\n') i++;
         int64_t line_end = i;
-        while (line_end > line_start && buf[line_end - 1] == '\r') line_end--;
+        while (line_end > line_start &&
+               (buf[line_end - 1] == '\r' || buf[line_end - 1] == ' ' ||
+                buf[line_end - 1] == '\t'))
+            line_end--;
         if (out && line_end > line_start)
             memcpy(out + out_pos, buf + line_start,
                    (size_t)(line_end - line_start));

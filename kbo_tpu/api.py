@@ -342,12 +342,24 @@ def _map_batch_sparse(
     # explodes superlinearly beyond ~3M positions (>20 min at 4.6M on the
     # remote compiler vs ~2 min for the classic 2-bit sweep); gate by size
     # so genome-scale single-shot runs stay on the proven-compile path.
-    # KBO_TPU_MAP_FUSED=1 forces fused, =0 forces classic.
+    # KBO_TPU_MAP_FUSED=1 forces fused, =0 forces classic. Independent of
+    # the compile-time gate, the fused join's packed back-sort payload
+    # hard-requires n_rows + Q*(L+k-1) < 2^24 and k < 128
+    # (kernels.ms.ms3_rows_core) -- such inputs always take the classic
+    # path rather than tripping the kernel's asserts.
     fused_env = os.environ.get("KBO_TPU_MAP_FUSED", "auto")
     on_tpu = _jax.devices()[0].platform == "tpu"
-    use_fused = mesh is None and (
-        fused_env == "1"
-        or (fused_env == "auto" and not (on_tpu and L > 3_000_000))
+    fused_fits = (
+        k < 128
+        and query_sbwt.n_rows + Q * (L + k - 1) < (1 << 24) - 1
+    )
+    use_fused = (
+        mesh is None
+        and fused_fits
+        and (
+            fused_env == "1"
+            or (fused_env == "auto" and not (on_tpu and L > 3_000_000))
+        )
     )
 
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
@@ -405,19 +417,28 @@ def _map_batch_sparse(
             # derandomize/translate, candidate compaction, device-side
             # anchors + gap grids -- ONE packed fetch for everything the
             # host refinement needs (kernels/mapsweep.py)
-            from kbo_tpu.kernels.mapsweep import map_sweep_compact3
+            from kbo_tpu.kernels.mapsweep import (
+                map_postprocess3,
+                ms3_rows_sweep,
+            )
 
             codes_dev = jnp.asarray(codes)
             lengths_dev = jnp.asarray(lengths)
             thr = jnp.int32(threshold)
+            # the join stage is cap-independent: the capacity-overflow
+            # retry below reuses its device outputs and re-runs only the
+            # postprocess stage
+            ms_dev, uniq_dev, rows_dev = ms3_rows_sweep(
+                dev.keys3, dev.lcs3, codes_dev, k
+            )
 
-            def run_sweep3(cap_d, cap_g):
-                return map_sweep_compact3(
-                    dev.keys3, dev.lcs3, codes_dev, lengths_dev, k, thr,
+            def run_post(cap_d, cap_g):
+                return map_postprocess3(
+                    ms_dev, uniq_dev, rows_dev, lengths_dev, k, thr,
                     cap_d, cap_g,
                 )
 
-            chars_dev, ms_dev, packed_dev = run_sweep3(cap_d, cap_g)
+            chars_dev, packed_dev = run_post(cap_d, cap_g)
             block = np.asarray(packed_dev)
             counts = block[:, :2]
             if (
@@ -426,7 +447,7 @@ def _map_batch_sparse(
             ):
                 cap_d = _pow2_cap(int(counts[:, 0].max()))
                 cap_g = _pow2_cap(int(counts[:, 1].max()))
-                chars_dev, ms_dev, packed_dev = run_sweep3(cap_d, cap_g)
+                chars_dev, packed_dev = run_post(cap_d, cap_g)
                 block = np.asarray(packed_dev)
             packed = block[:, 2 : 2 + cap_d + 2 * cap_g]
             scan_block = block[:, 2 + cap_d + 2 * cap_g :]

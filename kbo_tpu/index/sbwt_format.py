@@ -126,7 +126,9 @@ def write_kbo_sbwt(
             fh.write(words.tobytes())
             fh.write(struct.pack("<QQQ", 0, 0, 0))  # supports absent
         fh.write(struct.pack("<QQ", index.n_kmers, index.k))
-        p = min(precalc_length, 10)
+        # the table keys are length-p prefixes: p must not exceed k (a
+        # longer "prefix" can never match any row) nor one packed word
+        p = min(precalc_length, 10, index.k)
         lut = _prefix_lookup(index, p)
         fh.write(struct.pack("<QQ", p, lut.shape[0]))
         fh.write(np.ascontiguousarray(lut).tobytes())
@@ -172,9 +174,11 @@ def _read_bitvector(r: _Reader) -> np.ndarray:
     n = r.u64()
     ones = r.u64()
     W = r.u64()
-    assert W == (n + 63) // 64, f"bitvector word count {W} != ceil({n}/64)"
+    if W != (n + 63) // 64:
+        raise ValueError(f"bitvector word count {W} != ceil({n}/64)")
     bools = _unpack_bits_u64(r.words(W), n)
-    assert int(bools.sum()) == ones, "bitvector popcount mismatch"
+    if int(bools.sum()) != ones:
+        raise ValueError("bitvector popcount mismatch")
     for _ in range(3):  # optional rank/select/select0 supports
         cnt = r.u64()
         if cnt:
@@ -197,7 +201,8 @@ def _rebuild_from_bitvectors(
     # end with base b+1; row 0 is the all-'$' root
     ones = [int(r.sum()) for r in rows]
     C = np.cumsum([1] + ones[:-1]).astype(np.int32)
-    assert 1 + sum(ones) == n, "edge count != n_rows - 1 + root"
+    if 1 + sum(ones) != n:
+        raise ValueError("edge count != n_rows - 1 + root")
     last = np.zeros(n, dtype=np.uint8)
     bounds = np.concatenate([C.astype(np.int64), [n]])
     for b in range(N_BASES):
@@ -243,7 +248,8 @@ def _rebuild_from_bitvectors(
             a, b2 = w3[w][:-1], w3[w][1:]
             gt |= ~decided & (a > b2)
             decided |= a != b2
-        assert not gt.any(), "rows not in colex order"
+        if gt.any():
+            raise ValueError("rows not in colex order")
 
     v = (codes != 0).astype(np.int32)[:, ::-1].cumprod(axis=1).sum(axis=1)
     v = np.minimum(v, k).astype(np.int32)
@@ -267,7 +273,7 @@ def _rebuild_from_bitvectors(
     # access text: per-row k-mer chunks; row i's window ends at i*k + k-1
     text = codes.reshape(-1)
     row_pos = (np.arange(n, dtype=np.int64) * k) + (k - 1)
-    return SbwtIndex(
+    index = SbwtIndex(
         k=k,
         n_rows=n,
         n_kmers=n_kmers,
@@ -281,6 +287,10 @@ def _rebuild_from_bitvectors(
         row_pos=row_pos,
         text=text,
     )
+    # the text above is per-row ACCESS chunks, not a construction buffer:
+    # a device rebuild from it would be garbage (and k-times oversized)
+    index.text_is_access = True
+    return index
 
 
 def read_kbo_sbwt(prefix: str) -> SbwtIndex:
@@ -295,16 +305,19 @@ def read_kbo_sbwt(prefix: str) -> SbwtIndex:
             f"unsupported SBWT variant {variant!r} (expected {_VARIANT!r})"
         )
     n_sets = r.u64()
-    assert n_sets == N_BASES, f"expected 4 bitvectors, found {n_sets}"
+    if n_sets != N_BASES:
+        raise ValueError(f"expected 4 bitvectors, found {n_sets}")
     rows = [_read_bitvector(r) for _ in range(N_BASES)]
     n_kmers = r.u64()
     k = r.u64()
-    assert 1 < k < 256, f"implausible k = {k}"
+    if not 1 < k < 256:
+        raise ValueError(f"implausible k = {k}")
     # prefix lookup table: parsed and discarded (the sort-join engine does
     # not use interval precalc; documented at opts.py prefix_precalc)
     p = r.u64()
     cnt = r.u64()
-    assert cnt == 4 ** p, f"prefix table count {cnt} != 4^{p}"
+    if cnt != 4 ** p:
+        raise ValueError(f"prefix table count {cnt} != 4^{p}")
     r.words(2 * cnt)
 
     with open(f"{prefix}.lcs", "rb") as fh:
@@ -312,12 +325,14 @@ def read_kbo_sbwt(prefix: str) -> SbwtIndex:
     n_elem = r2.u64()
     width = r2.u64()
     W = r2.u64()
-    assert W == (n_elem * width + 63) // 64
+    if W != (n_elem * width + 63) // 64:
+        raise ValueError(".lcs bit-packing word count mismatch")
     flat = _unpack_bits_u64(r2.words(W), n_elem * width)
     lcs = np.zeros(n_elem, dtype=np.uint64)
     for j in range(width):
         lcs |= flat[j::width].astype(np.uint64) << np.uint64(j)
 
     index = _rebuild_from_bitvectors(rows, n_kmers, int(k), lcs)
-    assert index.n_rows == n_elem, ".lcs length != row count"
+    if index.n_rows != n_elem:
+        raise ValueError(".lcs length != row count")
     return index

@@ -160,13 +160,25 @@ def fetch_candidates(
     """Slice the compacted candidate arrays to bucketed capacities and pack
     them WITH the counts into one int32 matrix (one fetch = one relay round
     trip; the caller checks the leading counts for capacity overflow and
-    refetches with exact capacities in the rare dense case)."""
+    refetches with exact capacities in the rare dense case). Arrays shorter
+    than a capacity (references shorter than the slot floor) pad with BIG
+    so the caller's fixed-offset parse stays aligned."""
+
+    def cols(arr, cap):
+        out = arr[:, :cap]
+        if out.shape[1] < cap:
+            out = jnp.pad(
+                out, ((0, 0), (0, cap - out.shape[1])),
+                constant_values=_BIG32,
+            )
+        return out
+
     return jnp.concatenate(
         [
             counts,
-            drop_pos[:, :cap_d],
-            gap_start[:, :cap_g],
-            gap_end_at[:, :cap_g],
+            cols(drop_pos, cap_d),
+            cols(gap_start, cap_g),
+            cols(gap_end_at, cap_g),
         ],
         axis=1,
     )
@@ -332,18 +344,6 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
 map_postprocess3 = jax.jit(
     map_postprocess3_core, static_argnames=("k", "cap_d", "cap_g")
 )
-
-
-def map_sweep_compact3(keys3, lcs3, codes, lengths, k: int, threshold,
-                       cap_d: int, cap_g: int):
-    """Two-dispatch fused map sweep (join stage + postprocess stage; see
-    the stage docstrings). Returns (chars, ms, packed); only `packed` is
-    meant to be fetched."""
-    ms, uniq, rows = ms3_rows_sweep(keys3, lcs3, codes, k)
-    chars, packed = map_postprocess3(
-        ms, uniq, rows, lengths, k, threshold, cap_d, cap_g
-    )
-    return chars, ms, packed
 
 
 def _pad_slots(arr, cap: int):

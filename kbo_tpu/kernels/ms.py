@@ -409,6 +409,7 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     n = keys3.shape[1]
     T = buf.shape[0]
     assert n + T < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    assert k < 128, "ms rides 7 bits of the back-sort payload"
     q_words = pack_windows_3bit(buf, k)
     meta = jnp.arange(T, dtype=jnp.int32)
     ref_words = [keys3[w] for w in range(W)]
@@ -677,6 +678,7 @@ class DeviceIndex:
         rebuilt = False
         if (
             text is not None
+            and not getattr(index, "text_is_access", False)
             and os.environ.get("KBO_TPU_UPLOAD_INDEX", "0") != "1"
         ):
             text = np.asarray(text, dtype=np.uint8)

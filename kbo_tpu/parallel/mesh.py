@@ -282,13 +282,14 @@ def matches_batch_index_sharded(
     n = mesh.devices.size
     codes, lengths = pad_batch(code_list)
 
-    from kbo_tpu.engine import device_index
-
-    dev = device_index(index)
-    rows = int(dev.keys2.shape[1])
+    # shard straight from the HOST arrays: replication via device_index
+    # would rebuild (or upload) the full tables per device, and pulling
+    # device-resident tables back is the relay bulk-fetch pathology
+    assert index.keys2 is not None, "index built without join keys"
+    rows = int(index.keys2.shape[1])
     rows_p = ((rows + n - 1) // n) * n
-    keys2 = np.asarray(dev.keys2)
-    cap2 = np.asarray(dev.cap2)
+    keys2 = np.ascontiguousarray(index.keys2)
+    cap2 = np.ascontiguousarray(index.cap2)
     if rows_p != rows:
         # sentinel-pad to an even split: cap-0 rows contribute nothing to
         # the clamped-LCP scan (the DeviceFullIndex convention)
@@ -301,7 +302,7 @@ def matches_batch_index_sharded(
         put_global(mesh, P("model"), cap2),
         put_global(mesh, P(), codes),
         put_global(mesh, P(), lengths),
-        dev.k,
+        int(index.k),
         jnp.int32(threshold),
         mesh,
     )

@@ -168,3 +168,28 @@ def test_classic_and_fused_map_paths_identical(monkeypatch):
     monkeypatch.setenv("KBO_TPU_MAP_DENSE", "1")
     dense = map_batch([bytes(ref)], idx, opts)
     assert dense == fused
+
+
+def test_classic_map_path_short_reference(monkeypatch):
+    """Regression: the classic path's packed candidate fetch must pad
+    short references up to the slot capacity -- before the fix, gap runs
+    parsed as BIG-sentinel garbage and gaps were silently never filled."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build
+    from kbo_tpu.api import map_batch
+
+    rng = np.random.default_rng(8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bytearray(bases[rng.integers(0, 4, 200)].tobytes())
+    query = bytearray(ref)
+    del query[100:103]  # 3-base deletion -> a gap run the paint must keep
+    bo = BuildOpts(k=31, build_select=True)
+    idx = build([bytes(query)], bo)
+    opts = MapOpts(sbwt_build_opts=bo)
+
+    monkeypatch.setenv("KBO_TPU_MAP_FUSED", "0")
+    classic = map_batch([bytes(ref)], idx, opts)
+    monkeypatch.setenv("KBO_TPU_MAP_FUSED", "1")
+    fused = map_batch([bytes(ref)], idx, opts)
+    assert classic == fused

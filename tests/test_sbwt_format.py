@@ -106,7 +106,8 @@ def test_header_and_defensive_reader(tmp_path):
         fh.write(open(lcs_path, "rb").read())
     with pytest.raises(ValueError, match="Plain!"):
         read_kbo_sbwt(bad)
-    # corrupted popcount -> structural assert
+    # corrupted popcount -> structural ValueError (a raise, not an assert:
+    # untrusted-input checks must survive python -O)
     corrupt = bytearray(raw)
     corrupt[8 + n + 8 + 8 : 8 + n + 8 + 16] = struct.pack("<Q", 999999)
     bad2 = str(tmp_path / "bad2")
@@ -114,7 +115,7 @@ def test_header_and_defensive_reader(tmp_path):
         fh.write(bytes(corrupt))
     with open(f"{bad2}.lcs", "wb") as fh:
         fh.write(open(lcs_path, "rb").read())
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="popcount"):
         read_kbo_sbwt(bad2)
 
 
