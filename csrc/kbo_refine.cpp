@@ -321,6 +321,13 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
         const int64_t a = lg - lreq;
         const int64_t b = k - (rg - threshold);
         fill_len = b - a;
+        // deep flank matches can drive b - a <= 0 (the acceptance's
+        // no_indels check would reject it anyway); guard BEFORE memcpy
+        if (fill_len <= 0 ||
+            fill_len > static_cast<int64_t>(kmer.size())) {
+          fill_len = 0;
+          continue;
+        }
         std::memcpy(kmer.data(), km + a, fill_len);
         have_fill = true;
         break;
@@ -364,6 +371,13 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
         const int64_t a = lm - lreq;
         const int64_t b = el - (rg - threshold);
         fill_len = b - a;
+        // bound BEFORE memcpy: a long extended fill can exceed the fixed
+        // buffer (no_indels would reject it afterwards regardless)
+        if (fill_len <= 0 || a < 0 || b > el ||
+            fill_len > static_cast<int64_t>(kmer.size())) {
+          fill_len = 0;
+          continue;
+        }
         std::memcpy(kmer.data(), ext.data() + a, fill_len);
         have_fill = true;
       }

@@ -557,6 +557,7 @@ def _map_batch_sparse(
             jnp.asarray(pv),
             bool(opts.format),
         )
+        get_stats().add("gap_bases_unfilled", unfilled_bases)
         # optimistic single fetch: deltas are RUN-encoded, so the count is
         # bounded by patches (worst case one run each) + gap runs + a small
         # margin for flank '-' stretches; a miss pays one refetch

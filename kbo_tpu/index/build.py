@@ -155,7 +155,10 @@ def build_index_from_segments(
 ) -> SbwtIndex:
     """Core construction from pre-encoded valid segments."""
     assert segments, "cannot build an index from empty input"
-    assert 1 < k < 256, "k must be in (1, 256)"
+    assert 1 < k < 255, (
+        "k must be in (1, 255): cap byte 255 is the join engine's "
+        "query-slot marker (kernels/ms.py _neighbor_best)"
+    )
     W3 = (k + 9) // 10
 
     # one flat buffer: k '$'s before each segment; window ending at the
@@ -312,7 +315,10 @@ def build_index_from_segments_disk(
     import tempfile
 
     assert segments, "cannot build an index from empty input"
-    assert 1 < k < 256, "k must be in (1, 256)"
+    assert 1 < k < 255, (
+        "k must be in (1, 255): cap byte 255 is the join engine's "
+        "query-slot marker (kernels/ms.py _neighbor_best)"
+    )
     W3 = (k + 9) // 10
     W2 = (k + 15) // 16
 

@@ -138,6 +138,11 @@ def _doubling_cummax(x):
 _IDA = 2**31 - 1
 _IDB = -(2**31 - 1)
 
+# slots addressable by the 24-bit id in the single-payload packed join;
+# beyond this _neighbor_best switches to the two-operand fallback
+# (tests force it lower to exercise the fallback at small sizes)
+_PACKED_SLOT_LIMIT = (1 << 24) - 1
+
 
 def _clamp_scan_jnp(ell, cap, reverse: bool):
     """Inclusive compose scan of clamp transforms x -> max(min(x, ell), cap).
@@ -317,7 +322,22 @@ def _neighbor_best(
     W = len(ref_words)
     n = ref_words[0].shape[0]
     L = q_words[0].shape[0]
-    assert n + L < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    if n + L >= _PACKED_SLOT_LIMIT:
+        # very large inputs: the single-payload packing has no room for a
+        # 24-bit slot id, so carry cap and meta as separate operands (one
+        # more radix operand + a two-operand back-sort; correctness first)
+        sw = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
+        cap_all = jnp.concatenate(
+            [ref_cap.astype(jnp.int32), jnp.full((L,), -1, jnp.int32)]
+        )
+        meta_all = jnp.concatenate(
+            [jnp.full((n,), _BIG, jnp.int32), q_meta.astype(jnp.int32)]
+        )
+        ops = _radix_sort(sw + [cap_all, meta_all], W)
+        sw, cap_s, meta_s = ops[:W], ops[W], ops[W + 1]
+        c = _clamp_both(sw, cap_s, bits, common_fn)
+        back = jax.lax.sort((meta_s, c), num_keys=1, is_stable=False)
+        return back[1][:L]
     ref_packed = jnp.uint32(0xFFFFFF00) | ref_cap.astype(jnp.uint32)
     q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
     if ref_sorted and _use_pallas_merge():
@@ -739,7 +759,9 @@ def query_ms_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
     Drop-in device replacement for :func:`kbo_tpu.ops.ms.query_ms_codes`:
     returns (ms int64 [L], intervals int64 [L, 2]).
     """
-    dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
+    # anything already carrying device-resident tables (DeviceIndex,
+    # DeviceFullIndex) passes through; only host indexes get wrapped
+    dev = DeviceIndex(index) if isinstance(index, SbwtIndex) else index
     buf, L = make_flat_buffer(np.asarray(codes), dev.k)
     ms, l, r = _ms3_iv_jit(dev.keys3, jnp.asarray(buf), dev.k)
     s = slice(dev.k - 1, dev.k - 1 + L)
@@ -753,7 +775,9 @@ def query_ms_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
 
 def query_ms_values_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
     """MS values only for one encoded query (fast 2-bit join)."""
-    dev = index if isinstance(index, DeviceIndex) else DeviceIndex(index)
+    # anything already carrying device-resident tables (DeviceIndex,
+    # DeviceFullIndex) passes through; only host indexes get wrapped
+    dev = DeviceIndex(index) if isinstance(index, SbwtIndex) else index
     buf, L = make_flat_buffer(np.asarray(codes), dev.k)
     ms = _ms2_jit(dev.keys2, dev.cap2, jnp.asarray(buf), dev.k)
     return np.asarray(ms[dev.k - 1 : dev.k - 1 + L], dtype=np.int64)

@@ -221,21 +221,27 @@ def map_e2e(index, ref_seq: bytes, threshold: int, max_error_prob: float):
 
     inner = build_arrays(codes, k)
     cap = max(1024, n // 64)
-    pos = np.zeros(cap, dtype=np.int64)
-    qlen = np.zeros(cap, dtype=np.int32)
-    rlen = np.zeros(cap, dtype=np.int32)
-    qch = np.zeros(cap * k, dtype=np.uint8)
-    rch = np.zeros(cap * k, dtype=np.uint8)
-    cnt = int(
-        lib.kbo_call_variants(
-            ms32, lo, hi, codes, n,
-            text, row_pos, bits, cum, C, lcs,
-            index.n_rows, index.n_words,
-            inner["bits"], inner["cum"], inner["C"], inner["lcs"],
-            inner["n_rows"], inner["n_words"], k, threshold,
-            pos, qlen, rlen, qch, rch, cap,
+    while True:
+        pos = np.zeros(cap, dtype=np.int64)
+        qlen = np.zeros(cap, dtype=np.int32)
+        rlen = np.zeros(cap, dtype=np.int32)
+        qch = np.zeros(cap * k, dtype=np.uint8)
+        rch = np.zeros(cap * k, dtype=np.uint8)
+        cnt = int(
+            lib.kbo_call_variants(
+                ms32, lo, hi, codes, n,
+                text, row_pos, bits, cum, C, lcs,
+                index.n_rows, index.n_words,
+                inner["bits"], inner["cum"], inner["C"], inner["lcs"],
+                inner["n_rows"], inner["n_words"], k, threshold,
+                pos, qlen, rlen, qch, rch, cap,
+            )
         )
-    )
+        if cnt < cap:
+            break
+        # a full buffer is indistinguishable from exactly-cap variants:
+        # retry with more room rather than silently truncating
+        cap *= 4
     variants = [
         Variant(
             query_pos=int(pos[t]),

@@ -172,38 +172,25 @@ def _left_extend_batch(
     assert K0 == sbwt.k or isinstance(sbwt, SbwtIndex), (
         "short-pattern extension needs a rank-backed host index"
     )
+
+    # Per round and char: (nonempty, singleton) interval masks. The
+    # acceptance rule (reference: src/gap_filling.rs:224) is "exactly one
+    # char gives a NONEMPTY interval, and that interval is a singleton".
     if K0 == sbwt.k and sbwt.keys3 is not None:
-        prefix = kmers[:, : K0 - 1].copy()
-        prepended: list[list[int]] = [[] for _ in range(E)]
-        active = budgets > 0
-        spent = np.zeros(E, dtype=np.int64)
-        while active.any():
-            lanes = np.flatnonzero(active)
-            P = prefix[lanes]
-            probes = np.empty((4, lanes.size, K0), dtype=np.uint8)
-            for b in range(4):
-                probes[b, :, 0] = b + 1
-                probes[b, :, 1:] = P
-            hit = _member_rows(
-                sbwt, probes.reshape(4 * lanes.size, K0)
-            ).reshape(4, lanes.size)
-            n_hits = hit.sum(axis=0)
-            choice = np.argmax(hit, axis=0)
-            ok = n_hits == 1
-            for i in np.flatnonzero(ok):
-                prepended[lanes[i]].append(int(choice[i]) + 1)
-            good = lanes[ok]
-            prefix[good, 1:] = prefix[good, :-1]
-            prefix[good, 0] = choice[ok] + 1
-            spent[good] += 1
-            active[:] = False
-            active[good] = spent[good] < budgets[good]
-        return [
-            np.concatenate(
-                [np.asarray(prepended[i][::-1], dtype=np.uint8), kmers[i]]
-            )
-            for i in range(E)
-        ]
+        # full-length probes: rows are distinct length-k strings, so
+        # nonempty == singleton == membership (binary search over the
+        # packed colex key bytes)
+        def probe_intervals(probes, n_lanes):
+            m = _member_rows(sbwt, probes).reshape(4, n_lanes)
+            return m, m
+    else:
+        # short patterns: rank-walk interval probes
+        def probe_intervals(probes, n_lanes):
+            l, r = search_codes_batch(sbwt, probes)
+            nonempty = (r > l).reshape(4, n_lanes)
+            singleton = ((r - l) == 1).reshape(4, n_lanes)
+            return nonempty, singleton
+
     prefix = kmers[:, : K0 - 1].copy()  # current first K0-1 codes per lane
     prepended: list[list[int]] = [[] for _ in range(E)]
     active = budgets > 0
@@ -215,12 +202,12 @@ def _left_extend_batch(
         for b in range(4):
             probes[b, :, 0] = b + 1
             probes[b, :, 1:] = P
-        l, r = search_codes_batch(sbwt, probes.reshape(4 * lanes.size, K0))
-        nonempty = (r > l).reshape(4, lanes.size)
+        nonempty, singleton = probe_intervals(
+            probes.reshape(4 * lanes.size, K0), lanes.size
+        )
         n_hits = nonempty.sum(axis=0)
         choice = np.argmax(nonempty, axis=0)  # valid only where n_hits == 1
-        width = (r - l).reshape(4, lanes.size)[choice, np.arange(lanes.size)]
-        ok = (n_hits == 1) & (width == 1)
+        ok = (n_hits == 1) & singleton[choice, np.arange(lanes.size)]
         for i in np.flatnonzero(ok):
             prepended[lanes[i]].append(int(choice[i]) + 1)
         good = lanes[ok]

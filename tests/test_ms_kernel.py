@@ -111,3 +111,36 @@ def test_word_boundary_k(k):
     ms_s, iv_s = compute_ms_intervals_at(sbwt, codes, pos)
     np.testing.assert_array_equal(ms_s, ms_ref)
     np.testing.assert_array_equal(iv_s, iv_ref)
+
+
+def test_neighbor_best_large_input_fallback(monkeypatch):
+    """Inputs past the 24-bit packed-slot limit take a two-operand
+    fallback join; forcing the limit down at small sizes must reproduce
+    the packed path's MS values bit-exactly."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, build
+    from kbo_tpu import engine
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.kernels import ms as ms_mod
+
+    rng = np.random.default_rng(14)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, 5000)].tobytes()
+    idx = build([ref], BuildOpts(k=31))
+    q = bytearray(ref[1000:2500])
+    for p in rng.integers(0, len(q), 6):
+        q[p] = bases[rng.integers(0, 4)]
+    codes = encode_ascii(bytes(q))
+
+    want = np.asarray(
+        ms_mod.query_ms_values_device(idx, codes), dtype=np.int64
+    )
+    monkeypatch.setattr(ms_mod, "_PACKED_SLOT_LIMIT", 1)
+    got = np.asarray(
+        ms_mod.query_ms_values_device(idx, codes), dtype=np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+    from kbo_tpu.ops.ms import query_ms_codes
+
+    np.testing.assert_array_equal(got, query_ms_codes(idx, codes)[0])
