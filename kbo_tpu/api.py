@@ -349,9 +349,11 @@ def _map_batch_sparse(
     # path rather than tripping the kernel's asserts.
     fused_env = os.environ.get("KBO_TPU_MAP_FUSED", "auto")
     on_tpu = _jax.devices()[0].platform == "tpu"
+    # the join's slot budget counts the DEVICE table width (bucketed, with
+    # a sentinel tail -- larger than n_rows), not the logical row count
     fused_fits = (
         k < 128
-        and query_sbwt.n_rows + Q * (L + k - 1) < (1 << 24) - 1
+        and int(dev.keys3.shape[1]) + Q * (L + k - 1) < (1 << 24) - 1
     )
     use_fused = (
         mesh is None

@@ -14,10 +14,13 @@ char most significant) and cap_s is k for real k-mer rows and the real
 suffix length v for '$'-padded dummy rows. That turns MS into: pack window
 keys -> sort the query keys -> merge with the presorted reference keys
 (Pallas bitonic merge) -> one clamped-LCP scan per direction (Pallas,
-kernels/pallas_join.py) -> sort back by position. Sorts and elementwise
-ops only; no gathers; dummy rows cost nothing extra (they are ordinary
-rows with small caps -- the round-1 engine's O(#dummies * #queries) dummy
-pass is gone, so fragmented multi-contig references do not degrade).
+kernels/pallas_join.py) -> sort back by position. The hot VALUE path is
+sorts and elementwise ops only -- no gathers; the auxiliary paths
+(uniqueness lcs lookup in ms3_rows_core, sparse window assembly, the
+device build's key gather) use bounded vectorized gathers off the per-
+base critical loop. Dummy rows cost nothing extra (ordinary rows with
+small caps -- the round-1 engine's O(#dummies * #queries) dummy pass is
+gone, so fragmented multi-contig references do not degrade).
 
 Two key spaces:
 
@@ -338,6 +341,29 @@ def _neighbor_best(
         c = _clamp_both(sw, cap_s, bits, common_fn)
         back = jax.lax.sort((meta_s, c), num_keys=1, is_stable=False)
         return back[1][:L]
+    sw, spacked, f, b = _merge_scan(
+        ref_words, ref_cap, q_words, q_meta, bits, common_fn, ref_sorted
+    )
+    c = jnp.maximum(jnp.maximum(f, b), 0)
+    out_packed = (spacked & jnp.uint32(0xFFFFFF00)) | jnp.minimum(
+        c, 255
+    ).astype(jnp.uint32)
+    back = jax.lax.sort((out_packed,), num_keys=1, is_stable=False)
+    return (back[0][:L] & 255).astype(jnp.int32)
+
+
+def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
+                ref_sorted=True):
+    """Shared packed merge + directional clamped-LCP scans.
+
+    Packs ref/query slots into the single uint32 payload (see
+    :func:`_neighbor_best`'s docstring), merges (Pallas bitonic merge
+    against sorted references, or concat + radix), and runs both scan
+    directions. Returns (sw, spacked, f, b) in merged order -- the
+    building block for both the value join (max of f/b) and the
+    row/uniqueness join (f and b separately, kernels ms3_rows_core).
+    """
+    W = len(ref_words)
     ref_packed = jnp.uint32(0xFFFFFF00) | ref_cap.astype(jnp.uint32)
     q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
     if ref_sorted and _use_pallas_merge():
@@ -358,12 +384,15 @@ def _neighbor_best(
         sw, spacked = ops[:W], ops[W]
     capbyte = spacked & jnp.uint32(0xFF)
     cap = jnp.where(capbyte == 0xFF, jnp.int32(-1), capbyte.astype(jnp.int32))
-    c = _clamp_both(sw, cap, bits, common_fn)
-    out_packed = (spacked & jnp.uint32(0xFFFFFF00)) | jnp.minimum(
-        c, 255
-    ).astype(jnp.uint32)
-    back = jax.lax.sort((out_packed,), num_keys=1, is_stable=False)
-    return (back[0][:L] & 255).astype(jnp.int32)
+    if _use_pallas_merge() and sw[0].shape[0] % (1 << 16) == 0:
+        from kbo_tpu.kernels.pallas_join import clamp_scan
+
+        f = clamp_scan(sw, cap, bits, reverse=False)
+        b = clamp_scan(sw, cap, bits, reverse=True)
+    else:
+        f = _clamp_scan_jnp(_edge_lcp(sw, common_fn, False), cap, False)
+        b = _clamp_scan_jnp(_edge_lcp(sw, common_fn, True), cap, True)
+    return sw, spacked, f, b
 
 
 def ms2_core(keys2, cap2, buf, k: int):
@@ -433,38 +462,12 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     q_words = pack_windows_3bit(buf, k)
     meta = jnp.arange(T, dtype=jnp.int32)
     ref_words = [keys3[w] for w in range(W)]
-
-    capv = jnp.uint32(min(k, 254))
-    ref_packed = jnp.full((n,), jnp.uint32(0xFFFFFF00) | capv)
-    q_packed = (meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
-    if _use_pallas_merge():
-        from kbo_tpu.kernels.pallas_sort import bitonic_merge
-
-        q_ops = _radix_sort(list(q_words) + [q_packed], W)
-        merged = bitonic_merge(
-            list(ref_words) + [ref_packed],
-            q_ops,
-            n_comps=W,
-            slice_output=False,
-        )
-        sw, spacked = merged[:W], merged[W]
-    else:
-        sw = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
-        spacked = jnp.concatenate([ref_packed, q_packed])
-        ops = _radix_sort(sw + [spacked], W)
-        sw, spacked = ops[:W], ops[W]
+    ref_cap = jnp.full((n,), jnp.int32(min(k, 254)))
+    sw, spacked, f, b = _merge_scan(
+        ref_words, ref_cap, q_words, meta, 3, _common3
+    )
     M = sw[0].shape[0]
-    capbyte = spacked & jnp.uint32(0xFF)
-    is_ref = capbyte != 0xFF
-    cap = jnp.where(is_ref, capbyte.astype(jnp.int32), jnp.int32(-1))
-    if _use_pallas_merge() and M % (1 << 16) == 0:
-        from kbo_tpu.kernels.pallas_join import clamp_scan
-
-        f = clamp_scan(sw, cap, 3, reverse=False)
-        b = clamp_scan(sw, cap, 3, reverse=True)
-    else:
-        f = _clamp_scan_jnp(_edge_lcp(sw, _common3, False), cap, False)
-        b = _clamp_scan_jnp(_edge_lcp(sw, _common3, True), cap, True)
+    is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
     kk = jnp.int32(k)
     f = jnp.minimum(f, kk)
     b = jnp.minimum(b, kk)
@@ -820,6 +823,7 @@ class DeviceSeqIndex:
     def __init__(self, seqs: list[bytes], k: int, add_revcomp: bool = False):
         from kbo_tpu.index.encode import encode_ascii, revcomp_ascii
 
+        assert seqs, "cannot build an index from empty input"
         parts = []
         for s in seqs:
             s = bytes(s)
@@ -836,8 +840,11 @@ class DeviceSeqIndex:
         self.k = k
 
 
-def ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k: int):
-    """Per-position MS of a [Q, L] batch against sorted sequence keys."""
+def ms3_values_vs_sorted_seq_core(ref_words, codes, k: int):
+    """Per-position MS of a [Q, L] batch against sorted sequence keys.
+
+    Tail-pad positions return garbage values; callers mask by length
+    downstream (the derandomize pass reads only the true length)."""
     Q, L = codes.shape
     pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
@@ -1002,6 +1009,12 @@ class DeviceFullIndex:
         """[R, k] code matrix of colex rows: row positions gather on
         device (small fetch), text slicing on host."""
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if rows.size and (rows.min() < 0 or rows.max() >= self.n_rows):
+            # rows in the sentinel tail carry row_pos == -1; slicing with
+            # it would WRAP into the text end and return plausible garbage
+            raise IndexError(
+                f"colex row out of range [0, {self.n_rows})"
+            )
         pos = np.asarray(
             _gather_i32_jit(self.row_pos, jnp.asarray(rows, jnp.int32)),
             dtype=np.int64,

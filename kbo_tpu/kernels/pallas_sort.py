@@ -203,11 +203,6 @@ def bitonic_merge(
     return merged
 
 
-def _dir_mask(shape, dir_bit):
-    """Broadcast a traced 0/1 scalar to a boolean tile."""
-    return jnp.broadcast_to(dir_bit == 1, shape)
-
-
 def _exchange(ops, other, is_lo, dirb, n_comps):
     """Directed compare-exchange: ascending when dirb==0, descending when 1."""
     gt = _lex_gt(ops, other, n_comps)   # x > other
@@ -217,7 +212,7 @@ def _exchange(ops, other, is_lo, dirb, n_comps):
     return [jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)]
 
 
-def _block_roll_stage(ops, s, is_lo_fn, dirb, n_comps):
+def _block_roll_stage(ops, s, dirb, n_comps):
     """One in-VMEM stage with element distance s (< BLOCK)."""
     if s >= _LANES:
         sr = s // _LANES
@@ -254,7 +249,7 @@ def _block_sort_kernel(n_comps, n_ops, *refs):
                 (pl.program_id(0) & 1) == 1, (_R, _LANES)
             )
         for j in range(k - 1, -1, -1):
-            ops = _block_roll_stage(ops, 1 << j, None, dirb, n_comps)
+            ops = _block_roll_stage(ops, 1 << j, dirb, n_comps)
     for i in range(n_ops):
         out_refs[i][:, :] = ops[i]
 
@@ -273,7 +268,7 @@ def _block_merge_kernel(n_comps, n_ops, dir_shift, *refs):
         )
     s = BLOCK >> 1
     while s >= 1:
-        ops = _block_roll_stage(ops, s, None, dirb, n_comps)
+        ops = _block_roll_stage(ops, s, dirb, n_comps)
         s >>= 1
     for i in range(n_ops):
         out_refs[i][:, :] = ops[i]

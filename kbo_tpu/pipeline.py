@@ -121,7 +121,7 @@ def matches_batch_seq(
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run(ref_words, codes, lengths, k, threshold):
-        ms = ms3_values_vs_sorted_seq_core(ref_words, codes, lengths, k)
+        ms = ms3_values_vs_sorted_seq_core(ref_words, codes, k)
         derand = jax.vmap(
             lambda m, n: derandomize_core(m, k, threshold, n)
         )(ms, lengths)
