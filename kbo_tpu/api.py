@@ -333,6 +333,8 @@ def _map_batch_sparse(
             )
             lengths = np.pad(lengths, (0, Qp - lengths.size))
     Q, L = codes.shape
+    # patch/delta positions travel as int32 flat offsets (q * L + i)
+    assert Q * L < 2**31, "padded batch exceeds the int32 position space"
 
     import os
 

@@ -254,6 +254,10 @@ class SparseIntervals:
         # refinement probes): _pos sorted positions, _val [n, 3] = (l, r, ms)
         self._pos = np.zeros(0, dtype=np.int64)
         self._val = np.zeros((0, 3), dtype=np.int64)
+        # host-oracle results are computed full-length whatever the probe
+        # count; cache the one pass so repeated prefetch misses (gap
+        # filler + anchor rounds) never re-run it
+        self._full = None
 
     def __len__(self) -> int:
         return self._codes.size
@@ -268,10 +272,31 @@ class SparseIntervals:
             positions = positions[self._pos[loc_c] != positions]
         if positions.size == 0:
             return
-        ms_at, iv = compute_ms_intervals_at(
-            self._index, self._codes, positions, ms=self._ms,
-            dev_codes=self._dev_codes,
+        import jax as _jax
+
+        host_branch = (
+            isinstance(self._index, SbwtIndex)
+            and not isinstance(self._ms, _jax.Array)
+            and (
+                _backend() == "host"
+                or (
+                    _backend() == "auto"
+                    and positions.size * self._index.k < _HOST_CUTOFF
+                )
+            )
         )
+        if host_branch:
+            if self._full is None:
+                from kbo_tpu.ops.ms import query_ms_codes
+
+                self._full = query_ms_codes(self._index, self._codes)
+            ms_at = self._full[0][positions]
+            iv = self._full[1][positions]
+        else:
+            ms_at, iv = compute_ms_intervals_at(
+                self._index, self._codes, positions, ms=self._ms,
+                dev_codes=self._dev_codes,
+            )
         new_val = np.concatenate(
             [iv, np.asarray(ms_at, dtype=np.int64)[:, None]], axis=1
         )

@@ -325,7 +325,7 @@ def left_extend_over_gap(
         search_hi=min(gap_end + search_radius, len(ref_seq) - 1),
     )
     fills = _evaluate_gaps(
-        [gap], ivals, encode_ascii(bytes(ref_seq)), sbwt
+        [gap], ivals, np.frombuffer(bytes(ref_seq), dtype=np.uint8), sbwt
     )
     return decode_codes(fills[0]) if fills[0] is not None else b""
 
@@ -350,7 +350,7 @@ class _GapTask:
 def _evaluate_gaps(
     gaps: list[_GapTask],
     ivals,
-    ref_codes: np.ndarray,
+    ref_ascii: np.ndarray,
     sbwt: SbwtIndex,
 ) -> list[np.ndarray | None]:
     """For every gap, the spanning k-mer (codes) committed by the
@@ -362,7 +362,7 @@ def _evaluate_gaps(
     sequential scan because candidate evaluations have no side effects.
     """
     k = sbwt.k
-    n_ref = ref_codes.size
+    n_ref = ref_ascii.size
     n_gaps = len(gaps)
 
     # ---- phase A: one interval fetch over the union of search windows
@@ -399,7 +399,7 @@ def _evaluate_gaps(
     sel = uniq_idx[hi_u[gidx] - 1 - within]  # descending position per gap
     jpos = all_pos[sel]
     rows = iv[sel, 0]
-    return _score_candidates(gaps, gidx, jpos, rows, ref_codes, sbwt)
+    return _score_candidates(gaps, gidx, jpos, rows, ref_ascii, sbwt)
 
 
 def _candidates_from_grid(
@@ -424,13 +424,18 @@ def _score_candidates(
     gidx: np.ndarray,
     jpos: np.ndarray,
     rows: np.ndarray,
-    ref_codes: np.ndarray,
+    ref_ascii: np.ndarray,
     sbwt: SbwtIndex,
 ) -> list[np.ndarray | None]:
     """Phases C-E of the gap evaluation: k-mer texts + vectorized overlap
-    runs, lane-batched left extension, first-success-per-gap commit."""
+    runs, lane-batched left extension, first-success-per-gap commit.
+
+    Overlap comparisons run in RAW ASCII space (uppercase k-mer bytes vs
+    the reference bytes as given): the reference's count_left/right_
+    overlaps never match soft-masked lowercase bases
+    (src/gap_filling.rs:20-67) and neither does this."""
     k = sbwt.k
-    n_ref = ref_codes.size
+    n_ref = ref_ascii.size
     n_gaps = len(gaps)
     C = gidx.size
     if C == 0:
@@ -443,20 +448,21 @@ def _score_candidates(
     gap_len = ge - gs
 
     # ---- phase C: k-mer texts + vectorized overlap run lengths
-    kmers = sbwt.access_kmers_codes(rows).astype(np.uint8)  # [C, k]
+    kmers = sbwt.access_kmers_codes(rows).astype(np.uint8)  # [C, k] codes
+    kmers_ascii = CODE_TO_ASCII[kmers]
     padded = np.full(n_ref + 2 * k, _OOB, dtype=np.uint8)
-    padded[k : k + n_ref] = ref_codes
+    padded[k : k + n_ref] = ref_ascii
 
     # backward match ending at the candidate position (kmer[0] never joins)
     offs = np.arange(k, dtype=np.int64)[None, :]
     right_win = padded[(jpos - (k - 1))[:, None] + offs + k]
-    rg = _trailing_runs((kmers == right_win)[:, 1:])
+    rg = _trailing_runs((kmers_ascii == right_win)[:, 1:])
     want = jpos - ge + 1
 
     # forward match from the gap's left flank
     rsp = np.where(gs > lreq, gs - lreq, 0)
     left_win = padded[rsp[:, None] + offs + k]
-    lg = _leading_runs(kmers == left_win)
+    lg = _leading_runs(kmers_ascii == left_win)
 
     right_ok = rg >= np.minimum(want, k)
     case_a = right_ok & (lg >= lreq)
@@ -476,8 +482,8 @@ def _score_candidates(
         for lane, ext in zip(lanes.tolist(), extended):
             L = ext.size
             stop = min(L, n_ref - int(rsp[lane]))
-            seg = ref_codes[int(rsp[lane]) : int(rsp[lane]) + stop]
-            eq = ext[:stop] == seg
+            seg = ref_ascii[int(rsp[lane]) : int(rsp[lane]) + stop]
+            eq = CODE_TO_ASCII[ext[:stop]] == seg
             lm = int(_leading_runs(eq[None, :])[0])
             ext_lm[lane] = lm
             if lm >= lreq[lane]:
@@ -555,22 +561,42 @@ def _run_log_prob(matching: np.ndarray, bound: float) -> bool:
     return log_probs > bound
 
 
+def _gap_tasks(
+    runs: list[tuple[int, int]], n_ref: int, k: int, threshold: int
+) -> list[_GapTask]:
+    """Gap tasks (window arithmetic per src/gap_filling.rs:470-478) for raw
+    (start, next-non-dash) runs -- the ONE place the end clamp / radius /
+    search window rule lives (the device grid kernel mirrors it)."""
+    tasks = []
+    for start_index, run_end in runs:
+        end_index = min(run_end, n_ref - threshold)
+        gap_len = end_index - start_index
+        fits_without_extension = gap_len + 2 * threshold <= k
+        radius = k - (threshold if fits_without_extension else 0)
+        tasks.append(
+            _GapTask(
+                gap_start=start_index,
+                gap_end=end_index,
+                left_req=threshold,
+                right_req=threshold,
+                search_lo=end_index + threshold,
+                search_hi=min(end_index + radius, n_ref - 1),
+            )
+        )
+    return tasks
+
+
 def gap_probe_positions(
     runs: list[tuple[int, int]], n_ref: int, k: int, threshold: int
 ) -> np.ndarray:
     """Every reference position whose colex interval the gap evaluator will
     read for these runs -- lets a caller prefetch them together with other
     consumers' positions in one device probe."""
-    parts = []
-    for start_index, run_end in runs:
-        end_index = min(run_end, n_ref - threshold)
-        gap_len = end_index - start_index
-        fits_without_extension = gap_len + 2 * threshold <= k
-        radius = k - (threshold if fits_without_extension else 0)
-        lo = end_index + threshold
-        hi = min(end_index + radius, n_ref - 1)
-        if hi >= lo:
-            parts.append(np.arange(lo, hi + 1, dtype=np.int64))
+    parts = [
+        np.arange(t.search_lo, t.search_hi + 1, dtype=np.int64)
+        for t in _gap_tasks(runs, n_ref, k, threshold)
+        if t.search_hi >= t.search_lo
+    ]
     if not parts:
         return np.zeros(0, dtype=np.int64)
     return np.unique(np.concatenate(parts))
@@ -600,38 +626,23 @@ def fill_gaps_patches(
     k = query_sbwt.k
     assert k > 0
     ref_seq = bytes(ref_seq)
-    ref_codes = encode_ascii(ref_seq)
+    ref_ascii = np.frombuffer(ref_seq, dtype=np.uint8)
     bound = math.log1p(-max_err_prob)
     patches: list[tuple[int, int]] = []
     if not runs:
         return patches
 
-    tasks = []
-    for start_index, run_end in runs:
-        end_index = min(run_end, n - threshold)
-        gap_len = end_index - start_index
-        fits_without_extension = gap_len + 2 * threshold <= k
-        radius = k - (threshold if fits_without_extension else 0)
-        tasks.append(
-            _GapTask(
-                gap_start=start_index,
-                gap_end=end_index,
-                left_req=threshold,
-                right_req=threshold,
-                search_lo=end_index + threshold,
-                search_hi=min(end_index + radius, len(ref_seq) - 1),
-            )
-        )
+    tasks = _gap_tasks(runs, n, k, threshold)
 
     if grid is not None:
         # device probe grid (kernels.mapsweep.gap_probe_grid): candidates
         # are already resolved; no interval provider reads at all
         gidx, jpos, rows = _candidates_from_grid(tasks, np.asarray(grid))
         fills = _score_candidates(
-            tasks, gidx, jpos, rows, ref_codes, query_sbwt
+            tasks, gidx, jpos, rows, ref_ascii, query_sbwt
         )
     else:
-        fills = _evaluate_gaps(tasks, ivals, ref_codes, query_sbwt)
+        fills = _evaluate_gaps(tasks, ivals, ref_ascii, query_sbwt)
 
     stats = get_stats()
     pos_parts: list[np.ndarray] = []
@@ -646,7 +657,7 @@ def fill_gaps_patches(
             continue  # not found / '$'-containing / indel-length: rejected
 
         seg = kmer[threshold : threshold + gap_len]
-        matching = seg == ref_codes[gs:ge]
+        matching = CODE_TO_ASCII[seg] == ref_ascii[gs:ge]
 
         # acceptance (reference: src/gap_filling.rs:476-509); the run
         # probability analysis only matters when the k-mer cannot span the
@@ -666,10 +677,11 @@ def fill_gaps_patches(
             # acceptance comparison above -- a lowercase reference char
             # never paints 'M'), the filler nucleotide where it does not
             filler = CODE_TO_ASCII[seg]
-            ref_ascii = np.frombuffer(ref_seq, dtype=np.uint8)[gs:ge]
             pos_parts.append(np.arange(gs, ge, dtype=np.int64))
             val_parts.append(
-                np.where(filler == ref_ascii, np.uint8(ord("M")), filler)
+                np.where(
+                    filler == ref_ascii[gs:ge], np.uint8(ord("M")), filler
+                )
             )
     if pos_parts:
         pos = np.concatenate(pos_parts)

@@ -19,7 +19,6 @@ import numpy as np
 
 from kbo_tpu.index.sbwt import SbwtIndex
 from kbo_tpu.ops.derandomize import random_match_threshold
-from kbo_tpu.ops.ms import query_ms_codes
 from kbo_tpu.index.encode import DOLLAR, encode_ascii
 
 

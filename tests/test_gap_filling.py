@@ -131,3 +131,41 @@ def test_fill_gaps_left_extend_long():
     sbwt, noisy_ms, ivals, translated = _pipeline(query, reference, 9, 4)
     refined = fill_gaps(translated, noisy_ms, ivals, reference, sbwt, 4, 0.001)
     assert refined == list("MMMMMGTMMMMAMMMMMGMMMMMMM")
+
+
+def test_soft_masked_reference_rejects_fill():
+    """Overlap counting runs in RAW ASCII space (reference:
+    src/gap_filling.rs:20-67, :484-488): lowercase (soft-masked)
+    reference bases never match the index's uppercase k-mer bytes, so a
+    fill that succeeds on the uppercase reference must be rejected when
+    its flanks are soft-masked."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build
+    from kbo_tpu.api import map_
+
+    rng = np.random.default_rng(12)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n, k = 4000, 31
+    query = bytearray(bases[rng.integers(0, 4, n)].tobytes())
+    # the REFERENCE diverges from the query in a short cluster: the gap
+    # filler recovers the query's bases there from a spanning k-mer
+    ref_up = bytearray(query)
+    for p in (2000, 2001, 2002):
+        ref_up[p] = bases[(bases.tolist().index(ref_up[p]) + 1) % 4]
+    bo = BuildOpts(k=k, build_select=True)
+    idx = build([bytes(query)], bo)
+    opts = MapOpts(call_variants=False, format=False, sbwt_build_opts=bo)
+
+    up = map_(bytes(ref_up), idx, opts)
+    window = slice(1995, 2010)
+    # uppercase: the divergent cluster gets filled (query nucleotides)
+    assert b"-" not in up[window] and b"X" not in up[window], up[window]
+
+    # soft-mask the right flank the filler's unique context must overlap
+    ref_soft = bytearray(ref_up)
+    ref_soft[2003:2060] = bytes(ref_up[2003:2060]).lower()
+    soft = map_(bytes(ref_soft), idx, opts)
+    # soft-masked: overlap counting never matches lowercase -> rejected
+    assert soft[window] != up[window]
+    assert b"-" in soft[window] or b"X" in soft[window], soft[window]
