@@ -56,13 +56,22 @@ def _vcf_row(contig: str, ref_seq: bytes, v) -> str:
     alt_allele = v.ref_chars.decode()
     info = "."
     if len(ref_allele) != len(alt_allele):
-        # indel: anchor on the preceding reference base (VCF convention)
-        anchor_pos = max(v.query_pos - 1, 0)
-        anchor = chr(ref_seq[anchor_pos])
-        ref_allele = anchor + ref_allele
-        alt_allele = anchor + alt_allele
-        pos = anchor_pos + 1
         info = "INDEL"
+        if v.query_pos > 0:
+            # indel: anchor on the preceding reference base (VCF convention)
+            anchor_pos = v.query_pos - 1
+            anchor = chr(ref_seq[anchor_pos])
+            ref_allele = anchor + ref_allele
+            alt_allele = anchor + alt_allele
+            pos = anchor_pos + 1
+        else:
+            # event at reference position 1: VCF v4.4 anchors on the base
+            # AFTER the event instead (no preceding base exists)
+            after_pos = len(ref_allele)  # first ref base past the event
+            anchor = chr(ref_seq[after_pos]) if after_pos < len(ref_seq) else ""
+            ref_allele = ref_allele + anchor
+            alt_allele = alt_allele + anchor
+            pos = 1
     else:
         pos = v.query_pos + 1
     return (
@@ -118,11 +127,29 @@ def cmd_find(args, out=None):
     """
     ckpt_path = f"{args.output}.ckpt" if args.output else None
     done: set[str] = set()
+    resume_offset = None
     if args.output and args.resume and os.path.exists(ckpt_path):
-        done = set(open(ckpt_path).read().splitlines())
+        # ckpt lines: "<target>\t<query-file>\t<output byte offset after
+        # the pair>"; the offset lets resume truncate away rows a crash
+        # flushed mid-pair (they would otherwise duplicate on rerun)
+        for line in open(ckpt_path).read().splitlines():
+            parts = line.rsplit("\t", 1)
+            if len(parts) == 2 and parts[1].isdigit():
+                done.add(parts[0])
+                resume_offset = int(parts[1])
+            else:  # legacy entry without an offset
+                done.add(line)
     if args.output:
         mode = "a" if args.resume and os.path.exists(args.output) else "w"
+        if mode == "w" and ckpt_path and os.path.exists(ckpt_path):
+            # a fresh run invalidates any previous checkpoint: stale
+            # entries would make a later --resume skip pairs the
+            # truncated output no longer contains
+            os.remove(ckpt_path)
         out = open(args.output, mode)
+        if mode == "a" and resume_offset is not None:
+            out.truncate(resume_offset)
+            out.seek(resume_offset)
         write_header = mode == "w"
     else:
         out = out or sys.stdout
@@ -206,7 +233,7 @@ def cmd_find(args, out=None):
             if ckpt_path:
                 out.flush()
                 with open(ckpt_path, "a") as ck:
-                    print(key, file=ck)
+                    print(f"{key}\t{out.tell()}", file=ck)
     if args.output:
         out.close()
 

@@ -732,14 +732,15 @@ class DeviceIndex:
         self.k = int(index.k)
 
 
-def _bucket(n: int) -> int:
+def _bucket(n: int, lo: int = 1024) -> int:
     """Round up to 1/8-octave steps: bounds both compile-shape count and
     pad waste (a pure power-of-two bucket wasted up to 2x sort traffic,
-    e.g. an E. coli genome at 4.6M padding to 8.4M)."""
-    if n <= 1024:
-        return 1024
+    e.g. an E. coli genome at 4.6M padding to 8.4M). The single shared
+    implementation (pipeline._bucket delegates here with lo=64)."""
+    if n <= lo:
+        return lo
     p = 1 << (int(n).bit_length() - 1)
-    step = p >> 3
+    step = max(1, p >> 3)
     return ((n + step - 1) // step) * step
 
 

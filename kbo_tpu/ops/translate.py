@@ -90,6 +90,10 @@ def variant_patches(variants) -> list[tuple[int, int]]:
             for i, nt in enumerate(r):
                 patches.append((var.query_pos + i, nt))
         elif len(q) == 0:
+            # the reference indexes refined[query_pos - 1] (translate.rs:
+            # 366-368), which panics for an insertion at position 0;
+            # Python's -1 would silently wrap to the LAST character
+            assert var.query_pos > 0, "insertion variant at position 0"
             patches.append((var.query_pos - 1, ord("I")))
             patches.append((var.query_pos, ord("I")))
         elif len(r) == 0:

@@ -23,11 +23,14 @@ import os
 def initialize_from_env() -> bool:
     """Join the jax.distributed coordination service when configured.
 
-    Reads the standard env contract (JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the cloud-TPU metadata
-    auto-detection when none are set but COORDINATOR detection applies).
-    Returns True when running multi-process, False for the single-process
-    no-op. Safe to call twice.
+    Reads the explicit env contract: JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID. Without JAX_COORDINATOR_ADDRESS
+    this is a single-process no-op -- there is deliberately NO silent
+    cloud-metadata auto-detection here (an argless
+    ``jax.distributed.initialize()`` blocks waiting for a coordinator
+    when launched outside a managed pod; multi-host runs must opt in via
+    the env vars). Returns True when running multi-process. Safe to call
+    twice.
     """
     import jax
 

@@ -59,12 +59,11 @@ matches_pipeline = jax.jit(matches_pipeline_core, static_argnames=("k",))
 
 
 def _bucket(n: int, lo: int = 64) -> int:
-    """1/8-octave bucketing (see kernels.ms._bucket)."""
-    if n <= lo:
-        return lo
-    p = 1 << (int(n).bit_length() - 1)
-    step = max(1, p >> 3)
-    return ((n + step - 1) // step) * step
+    """1/8-octave bucketing -- the single implementation lives in
+    kernels.ms (shared so compile-shape bucketing never diverges)."""
+    from kbo_tpu.kernels.ms import _bucket as kernel_bucket
+
+    return kernel_bucket(n, lo=lo)
 
 
 def pad_batch(code_list: list[np.ndarray], L: int | None = None, bucket=False):
@@ -108,27 +107,48 @@ def matches_ms_batch(
 def matches_batch(
     index: SbwtIndex, code_list: list[np.ndarray], threshold: int
 ) -> list[np.ndarray]:
-    """Translated alignment chars (uint8 arrays) for a batch of queries."""
-    return matches_ms_batch(index, code_list, threshold)[0]
+    """Translated alignment chars (uint8 arrays) for a batch of queries.
+
+    Fetches ONLY the chars array -- the fused pipeline's ms output stays
+    on device (a [Q, L] int bulk fetch through the relay costs more than
+    the compute; callers that need ms use matches_ms_batch)."""
+    from kbo_tpu.engine import device_index
+
+    dev = device_index(index)
+    codes, lengths = pad_batch(code_list, bucket=True)
+    chars, _ms = matches_pipeline(
+        dev.keys2,
+        dev.cap2,
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        dev.k,
+        jnp.int32(threshold),
+    )
+    chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
+    return [chars[i, : c.size] for i, c in enumerate(code_list)]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _matches_seq_jit(ref_words, codes, lengths, k, threshold):
+    from kbo_tpu.kernels.ms import ms3_values_vs_sorted_seq_core
+
+    ms = ms3_values_vs_sorted_seq_core(ref_words, codes, k)
+    derand = jax.vmap(
+        lambda m, n: derandomize_core(m, k, threshold, n)
+    )(ms, lengths)
+    return jax.vmap(
+        lambda d, n: translate_core(d, k, threshold, n)
+    )(derand, lengths)
 
 
 def matches_batch_seq(
     dev_index, code_list: list[np.ndarray], threshold: int
 ) -> list[np.ndarray]:
     """Batched translated alignment chars against a device-built
-    :class:`kbo_tpu.kernels.ms.DeviceSeqIndex` (index-free find path)."""
-    from kbo_tpu.kernels.ms import ms3_values_vs_sorted_seq_core
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run(ref_words, codes, lengths, k, threshold):
-        ms = ms3_values_vs_sorted_seq_core(ref_words, codes, k)
-        derand = jax.vmap(
-            lambda m, n: derandomize_core(m, k, threshold, n)
-        )(ms, lengths)
-        chars = jax.vmap(
-            lambda d, n: translate_core(d, k, threshold, n)
-        )(derand, lengths)
-        return chars
+    :class:`kbo_tpu.kernels.ms.DeviceSeqIndex` (index-free find path).
+    The jit lives at module level so repeated calls (one per (contig,
+    query-file) pair under --device-index --detailed) hit its cache."""
+    run = _matches_seq_jit
 
     codes, lengths = pad_batch(code_list, bucket=True)
     chars = run(

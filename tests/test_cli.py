@@ -112,10 +112,19 @@ def test_cli_find_checkpoint_resume(genome_pair, tmp_path, capsys):
     out_path = str(tmp_path / "hits.tsv")
     main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path])
     first = open(out_path).read()
-    assert open(f"{out_path}.ckpt").read().strip().endswith(".fasta")
+    ckpt = open(f"{out_path}.ckpt").read().strip()
+    # ckpt line: "<target>\t<query file>\t<output byte offset>"
+    target, qfile, off = ckpt.rsplit("\t", 2)
+    assert qfile.endswith(".fasta") and int(off) == len(first.encode())
     # resume with the pair already done: no duplicate rows appended
     main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path, "--resume"])
     assert open(out_path).read() == first
-    # fresh run without --resume overwrites
+    # resume after a crash that flushed rows past the checkpoint: the
+    # torn tail is truncated before the pair reruns (no duplicates)
+    with open(out_path, "a") as fh:
+        fh.write("torn partial row")
+    main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path, "--resume"])
+    assert open(out_path).read() == first
+    # fresh run without --resume overwrites and invalidates the ckpt
     main(["find", str(query_fa), "-r", str(ref_fa), "-o", out_path])
     assert open(out_path).read() == first
