@@ -261,7 +261,9 @@ def cmd_build(args, out=None):
     opts = _build_opts(args, build_select=True)
     index = build(seqs, opts)
     if args.format == "sbwt":
-        paths = serialize_sbwt(args.output, index)
+        paths = serialize_sbwt(
+            args.output, index, precalc_length=opts.prefix_precalc
+        )
         path = " + ".join(paths)
     else:
         path = save_index(args.output, index)

@@ -98,15 +98,20 @@ def _lexsort_words(words, num_threads: int = 1) -> np.ndarray:
     if num_threads > 1 and n > (1 << 16):
         from concurrent.futures import ThreadPoolExecutor
 
+        # partition by the top FIVE bits so the same code is correct for
+        # both keyspaces: 3-bit chunks top out at 4, 2-bit words use the
+        # full 0..31 range (a 0..4 partition silently dropped rows there)
         top = words[0] >> np.uint32(27)
 
         def sort_bucket(c):
             sel = np.flatnonzero(top == c)
+            if sel.size == 0:
+                return sel
             sub = np.lexsort(tuple(w[sel] for w in keys))
             return sel[sub]
 
         with ThreadPoolExecutor(max_workers=num_threads) as ex:
-            parts = list(ex.map(sort_bucket, range(5)))
+            parts = list(ex.map(sort_bucket, range(32)))
         return np.concatenate(parts)
     return np.lexsort(keys)
 
@@ -186,10 +191,11 @@ def build_index_from_segments(
             eq &= w3[w][1:] == w3[w][:-1]
         keep[1:] = ~eq
     sel = np.flatnonzero(keep)
+    idx_sel = order[sel]  # one combined gather instead of w[order][sel]
     w3 = [w[sel] for w in w3]
-    w2 = [w[order][sel] for w in w2]
-    v = v[order][sel]
-    row_pos = pos[order][sel]
+    w2 = [w[idx_sel] for w in w2]
+    v = v[idx_sel]
+    row_pos = pos[idx_sel]
     return _finish_index_from_sorted(buf, k, w3, w2, v, row_pos, num_threads)
 
 
@@ -338,6 +344,7 @@ def build_index_from_segments_disk(
     # ~10x the record bytes) within the budget
     chunk = max(1 << 16, int(mem_gb * (1 << 30) / (10 * rec.itemsize)))
 
+    dollars = np.flatnonzero(buf == 0)
     os.makedirs(temp_dir, exist_ok=True)
     with tempfile.TemporaryDirectory(
         prefix="kbo-bpks-", dir=temp_dir
@@ -368,7 +375,7 @@ def build_index_from_segments_disk(
                     gpos = sel + lo
                     vg = np.minimum(
                         np.int64(k),
-                        gpos - _last_invalid_before(buf, gpos),
+                        gpos - _last_invalid_before(dollars, gpos),
                     ).astype(np.int32)
                 else:
                     gpos = sel + lo
@@ -430,10 +437,12 @@ def build_index_from_segments_disk(
     )
 
 
-def _last_invalid_before(buf: np.ndarray, gpos: np.ndarray) -> np.ndarray:
+def _last_invalid_before(
+    dollars: np.ndarray, gpos: np.ndarray
+) -> np.ndarray:
     """For each global position, the index of the last '$' at-or-before it
-    (buf always starts with k '$'s, so one exists)."""
-    dollars = np.flatnonzero(buf == 0)
+    (the buffer always starts with k '$'s, so one exists). ``dollars`` is
+    the precomputed sorted '$' position array (invariant across chunks)."""
     loc = np.searchsorted(dollars, gpos, side="right") - 1
     return dollars[loc]
 

@@ -262,11 +262,9 @@ def _rebuild_from_bitvectors(
         np.bitwise_or.at(
             bits[b], s >> 5, (np.uint32(1) << (s & 31).astype(np.uint32))
         )
-    pc = (
-        np.bitwise_count(bits).astype(np.int64)
-        if hasattr(np, "bitwise_count")
-        else np.vectorize(lambda x: bin(x).count("1"))(bits)
-    )
+    from kbo_tpu.index.build import _popcount32
+
+    pc = _popcount32(bits).astype(np.int64)
     cum = np.zeros((N_BASES, n_words), dtype=np.int64)
     cum[:, 1:] = np.cumsum(pc, axis=1)[:, :-1]
 

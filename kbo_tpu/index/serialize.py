@@ -53,6 +53,7 @@ def save_index(prefix: str, index: SbwtIndex) -> str:
         keys3=index.keys3,
         row_pos=index.row_pos,
         text=index.text,
+        text_is_access=np.bool_(getattr(index, "text_is_access", False)),
     )
     return path
 
@@ -64,7 +65,7 @@ def load_index(prefix: str) -> SbwtIndex:
     with np.load(path) as data:
         assert int(data["format_version"]) == _FORMAT_VERSION
         assert bytes(data["variant"].tobytes()) == b"SubsetMatrix"
-        return SbwtIndex(
+        index = SbwtIndex(
             k=int(data["k"]),
             n_rows=int(data["n_rows"]),
             n_kmers=int(data["n_kmers"]),
@@ -78,16 +79,26 @@ def load_index(prefix: str) -> SbwtIndex:
             row_pos=data["row_pos"],
             text=data["text"],
         )
+        if bool(data.get("text_is_access", False)):
+            # a .sbwt-loaded index round-tripped through the checkpoint:
+            # its text is per-row access chunks, not a construction buffer
+            index.text_is_access = True
+        return index
 
 
 _VARIANT = b"SubsetMatrix"
 
 
-def serialize_sbwt(prefix: str, index: SbwtIndex) -> tuple[str, str]:
+def serialize_sbwt(
+    prefix: str, index: SbwtIndex, precalc_length: int = 8
+) -> tuple[str, str]:
     """Write ``<prefix>.sbwt`` + ``<prefix>.lcs`` (reference file-pair
     convention, src/index.rs:128-151) in the documented sbwt-crate byte
-    layout; returns both paths."""
-    return sbwt_format.write_kbo_sbwt(prefix, index)
+    layout; returns both paths. ``precalc_length`` sizes the emitted
+    prefix lookup table (BuildOpts.prefix_precalc)."""
+    return sbwt_format.write_kbo_sbwt(
+        prefix, index, precalc_length=precalc_length
+    )
 
 
 def load_sbwt(prefix: str) -> SbwtIndex:

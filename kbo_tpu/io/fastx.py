@@ -118,6 +118,8 @@ def read_fastx_py(path) -> list[tuple[str, bytes]]:
         elif first == b"@":
             while True:
                 header = fh.readline()
+                while header and not header.strip():
+                    header = fh.readline()  # skip blank separator lines
                 if not header:
                     break
                 seq = fh.readline().rstrip()

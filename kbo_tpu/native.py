@@ -60,6 +60,12 @@ def _load():
         i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u8p,
     ]
     lib.kbo_translate.restype = None
+    if not all(
+        hasattr(lib, f)
+        for f in ("kbo_build", "kbo_build_export", "kbo_fill_gaps",
+                  "kbo_call_variants")
+    ):  # stale .so predating the refine functions: rebuild or fall back
+        return None
     lib.kbo_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32]
     lib.kbo_build.restype = ctypes.c_int64
     lib.kbo_build_export.argtypes = [u32p, i32p, i32p, u8p, i64p]
@@ -160,6 +166,7 @@ def build_arrays(codes: np.ndarray, k: int):
     for seg in split_segments(np.asarray(codes, dtype=np.uint8)):
         parts.append(np.zeros(k, dtype=np.uint8))
         parts.append(seg)
+    assert parts, "cannot build an index from empty input"
     buf = np.ascontiguousarray(np.concatenate(parts))
     n_rows = int(lib.kbo_build(buf, buf.size, k))
     assert n_rows > 0, "native build failed (k > 63?)"

@@ -61,11 +61,11 @@ def reset_stats() -> None:
 @contextlib.contextmanager
 def stage(name: str, bases: int | None = None):
     """Time a pipeline stage; optionally record its base count for rates."""
-    t0 = time.time()
+    t0 = time.perf_counter()
     try:
         yield
     finally:
-        _stats.add_time(name, time.time() - t0)
+        _stats.add_time(name, time.perf_counter() - t0)
         _stats.add(f"{name}_calls")
         if bases is not None:
             _stats.add(f"{name}_bases", bases)

@@ -169,3 +169,22 @@ def test_disk_backed_build_matches_memory():
                 np.testing.assert_array_equal(
                     getattr(disk, f), getattr(mem, f), err_msg=f
                 )
+
+
+def test_threaded_build_k_above_32_matches_single_thread():
+    """Regression: the threaded colex sort's bucket partition must cover
+    the 2-bit keyspace's full top range -- a 0..4 partition silently
+    dropped most join-table rows for k > 32, num_threads > 1, n > 65536."""
+    import numpy as np
+
+    from kbo_tpu import BuildOpts
+    from kbo_tpu.index.build import build_sbwt_from_seqs
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = bases[rng.integers(0, 4, 200_000)].tobytes()
+    one = build_sbwt_from_seqs([seq], BuildOpts(k=40, num_threads=1))
+    four = build_sbwt_from_seqs([seq], BuildOpts(k=40, num_threads=4))
+    assert one.n_rows == four.n_rows
+    for f in ("keys2", "cap2", "keys3", "row_pos", "lcs"):
+        np.testing.assert_array_equal(getattr(one, f), getattr(four, f), f)
