@@ -14,6 +14,13 @@
 #include <cstdint>
 #include <cstring>
 
+namespace {
+// trailing-whitespace set matching Python bytes.rstrip()
+inline bool is_trail_ws(uint8_t c) {
+  return c == '\r' || c == ' ' || c == '\t' || c == '\v' || c == '\f';
+}
+}  // namespace
+
 extern "C" {
 
 // Returns the number of records, or -1 on malformed input.
@@ -29,9 +36,7 @@ int64_t fastx_scan_fasta(const uint8_t* buf, int64_t n, uint8_t* out,
         int64_t name_start = ++i;
         while (i < n && buf[i] != '\n') i++;
         int64_t name_end = i;
-        while (name_end > name_start &&
-               (buf[name_end - 1] == '\r' || buf[name_end - 1] == ' ' ||
-                buf[name_end - 1] == '\t'))
+        while (name_end > name_start && is_trail_ws(buf[name_end - 1]))
             name_end--;
         if (i < n) i++;  // consume '\n'
         int64_t seq_start = out_pos;
@@ -41,9 +46,7 @@ int64_t fastx_scan_fasta(const uint8_t* buf, int64_t n, uint8_t* out,
             int64_t line_end = i;
             // match the Python oracle's rstrip(): trailing whitespace on a
             // sequence line is not sequence
-            while (line_end > line_start &&
-                   (buf[line_end - 1] == '\r' || buf[line_end - 1] == ' ' ||
-                    buf[line_end - 1] == '\t'))
+            while (line_end > line_start && is_trail_ws(buf[line_end - 1]))
                 line_end--;
             if (out && line_end > line_start) {
                 memcpy(out + out_pos, buf + line_start,
@@ -68,23 +71,30 @@ int64_t fastx_scan_fastq(const uint8_t* buf, int64_t n, uint8_t* out,
                          int64_t* recs, int64_t max_recs) {
     int64_t i = 0, nrec = 0, out_pos = 0;
     while (i < n) {
-        while (i < n && (buf[i] == '\n' || buf[i] == '\r')) i++;
+        // skip blank separator lines (any whitespace-only line), like the
+        // Python oracle's header.strip() loop
+        while (i < n) {
+            int64_t j = i;
+            while (j < n && (buf[j] == '\n' || is_trail_ws(buf[j]))) {
+                if (buf[j] == '\n') { i = j + 1; break; }
+                j++;
+            }
+            if (j < n && buf[j] == '\n') continue;
+            if (j >= n) { i = n; }
+            break;
+        }
         if (i >= n) break;
         if (buf[i] != '@') return -1;
         int64_t name_start = ++i;
         while (i < n && buf[i] != '\n') i++;
         int64_t name_end = i;
-        while (name_end > name_start &&
-               (buf[name_end - 1] == '\r' || buf[name_end - 1] == ' ' ||
-                buf[name_end - 1] == '\t'))
+        while (name_end > name_start && is_trail_ws(buf[name_end - 1]))
             name_end--;
         if (i < n) i++;
         int64_t line_start = i;  // sequence line (single line per FASTQ)
         while (i < n && buf[i] != '\n') i++;
         int64_t line_end = i;
-        while (line_end > line_start &&
-               (buf[line_end - 1] == '\r' || buf[line_end - 1] == ' ' ||
-                buf[line_end - 1] == '\t'))
+        while (line_end > line_start && is_trail_ws(buf[line_end - 1]))
             line_end--;
         if (out && line_end > line_start)
             memcpy(out + out_pos, buf + line_start,

@@ -136,6 +136,11 @@ extern "C" {
 // Returns n_rows (or -1 if k > 63). State is held for kbo_build_export.
 int64_t kbo_build(const uint8_t* buf, int64_t T, int32_t k) {
   if (k > 63 || k < 2) return -1;
+  // codes must be 0 ('$') or 1..4: anything else would alias into the
+  // 3-bit chunks (top chunk 5..7 overruns the C-array) -- reject loudly
+  for (int64_t p = 0; p < T; ++p) {
+    if (buf[p] > 4) return -1;
+  }
   delete g_build;
   g_build = new BuildState();
   g_build->k = k;
@@ -166,6 +171,7 @@ int64_t kbo_build(const uint8_t* buf, int64_t T, int32_t k) {
     if (i == 0 || !rows[i].same(rows[i - 1])) rows[n++] = rows[i];
   }
   rows.resize(n);
+  if (n == 0) return -1;  // degenerate input: no window ever materialized
   g_build->lcs.resize(n);
   g_build->lcs[0] = 0;
   for (size_t i = 1; i < n; ++i) {
@@ -179,7 +185,10 @@ int64_t kbo_build(const uint8_t* buf, int64_t T, int32_t k) {
 // (bits/cum: [4 * n_words] with n_words = n_rows / 32 + 1) and free state.
 void kbo_build_export(uint32_t* bits, int32_t* cum, int32_t* C, uint8_t* lcs,
                       int64_t* row_pos) {
+  // NOTE: single global build state -- build/export pairs must not
+  // interleave across threads (the ctypes caller is sequential)
   BuildState* st = g_build;
+  if (st == nullptr) return;  // export without a successful build
   const int64_t n = static_cast<int64_t>(st->rows.size());
   const int32_t k = st->k;
   const int64_t n_words = n / 32 + 1;
@@ -244,7 +253,9 @@ void kbo_build_export(uint32_t* bits, int32_t* cum, int32_t* C, uint8_t* lcs,
       }
     }
     // a is the first row with suf >= p; it must match (every non-root row
-    // has a predecessor)
+    // has a predecessor when buf follows the k-'$'-pads layout) -- guard
+    // against malformed buffers instead of reading past the array
+    if (a >= n || !(suf[a].same(p))) continue;
     int64_t x = suf[a].pos;
     unsigned c = static_cast<unsigned>((st->rows[y].hi >> 60) & 7);  // 1..4
     bits[(c - 1) * n_words + (x >> 5)] |= 1u << (x & 31);
@@ -276,7 +287,7 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
                    int32_t threshold, double ln_bound) {
   Index ix{bits, cum, C, n_rows, n_words, k};
   const int64_t lo = threshold, hi = n - threshold - 1;
-  std::vector<uint8_t> kmer(2 * k + 4);
+  std::vector<uint8_t> kmer(2 * k + 4);  // resized per gap below
   int64_t p = lo;
   for (int64_t p0 = lo; p0 < hi; ++p0) {
     const uint8_t ch = chars[p0];
@@ -292,6 +303,11 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
     const int64_t radius = k - (fits ? threshold : 0);
     const int64_t s_lo = end + threshold;
     const int64_t s_hi = std::min(end + radius, n - 1);
+    // an accepted fill is exactly 2*threshold + gap_len long (no_indels):
+    // size the buffer for THIS gap so long-gap fills are never rejected
+    // by an arbitrary cap (the Python oracle has none)
+    if (static_cast<int64_t>(kmer.size()) < 2 * threshold + gap_len)
+      kmer.resize(2 * threshold + gap_len);
     // descending-position scan for a unique context; evaluate each
     int64_t fill_len = 0;
     bool have_fill = false;
@@ -321,14 +337,16 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
         const int64_t a = lg - lreq;
         const int64_t b = k - (rg - threshold);
         fill_len = b - a;
-        // deep flank matches can drive b - a <= 0 (the acceptance's
-        // no_indels check would reject it anyway); guard BEFORE memcpy
+        // deep flank matches can drive b - a <= 0: COMMIT the degenerate
+        // fill (the oracle commits the first flank-passing candidate and
+        // lets the no_indels acceptance reject it) -- scanning further
+        // candidates would paint gaps the oracle leaves unfilled
         if (fill_len <= 0 ||
             fill_len > static_cast<int64_t>(kmer.size())) {
           fill_len = 0;
-          continue;
+        } else {
+          std::memcpy(kmer.data(), km + a, fill_len);
         }
-        std::memcpy(kmer.data(), km + a, fill_len);
         have_fill = true;
         break;
       }
@@ -371,18 +389,18 @@ void kbo_fill_gaps(uint8_t* chars, int64_t n, const int64_t* l_arr,
         const int64_t a = lm - lreq;
         const int64_t b = el - (rg - threshold);
         fill_len = b - a;
-        // bound BEFORE memcpy: a long extended fill can exceed the fixed
-        // buffer (no_indels would reject it afterwards regardless)
+        // bound BEFORE memcpy; degenerate fills COMMIT with length 0
+        // (first-success semantics, see case A above)
         if (fill_len <= 0 || a < 0 || b > el ||
             fill_len > static_cast<int64_t>(kmer.size())) {
           fill_len = 0;
-          continue;
+        } else {
+          std::memcpy(kmer.data(), ext.data() + a, fill_len);
         }
-        std::memcpy(kmer.data(), ext.data() + a, fill_len);
         have_fill = true;
       }
     }
-    if (!have_fill) continue;
+    if (!have_fill || fill_len == 0) continue;  // none / degenerate
     // acceptance (reference: src/gap_filling.rs:476-509)
     bool has_dollar = false;
     for (int64_t i = 0; i < fill_len; ++i) has_dollar |= kmer[i] == 0;

@@ -26,6 +26,7 @@ FASTA = (
 )
 FASTQ = (
     b"@read1 some desc\nACGTACGTAA\n+\nIIIIIIIIII\n"
+    b"\n \t\n"  # blank separator lines (whitespace-only)
     b"@read2\r\nGGTTCC\r\n+read2\r\nIIIIII\r\n"
 )
 
