@@ -59,12 +59,19 @@ class SbwtIndex:
     #: order). Any one occurrence; rows are distinct strings so the k-mer
     #: text read from any occurrence is identical.
     row_pos: Optional[np.ndarray] = None
-    #: uint8 [T]; the packed construction buffer: k '$' (0) codes before
-    #: each maximal ACGT segment, then the segment's codes (1..4). Rows are
-    #: exactly the distinct k-windows of this buffer, so k-mer extraction
-    #: is a slice -- the TPU-native replacement for the reference's
-    #: select-walk ``access_kmer`` (src/variant_calling.rs:276)
+    #: uint8 [T]; usually the packed construction buffer: k '$' (0) codes
+    #: before each maximal ACGT segment, then the segment's codes (1..4).
+    #: Rows are exactly the distinct k-windows of this buffer, so k-mer
+    #: extraction is a slice -- the TPU-native replacement for the
+    #: reference's select-walk ``access_kmer`` (src/variant_calling.rs:276).
+    #: For indexes reconstructed from a ``.sbwt`` file it is instead the
+    #: per-row access chunks (row i's window ends at i*k + k - 1) and
+    #: ``text_is_access`` is True.
     text: Optional[np.ndarray] = None
+    #: True when ``text`` holds per-row access chunks rather than a
+    #: construction buffer (a device rebuild from access chunks would
+    #: produce garbage join tables -- kernels/ms.py checks this flag)
+    text_is_access: bool = False
 
     # ------------------------------------------------------------------ meta
     @property

@@ -284,10 +284,11 @@ def _rebuild_from_bitvectors(
         keys3=np.stack(w3),
         row_pos=row_pos,
         text=text,
+        # the text above is per-row ACCESS chunks, not a construction
+        # buffer: a device rebuild from it would be garbage (and k-times
+        # oversized)
+        text_is_access=True,
     )
-    # the text above is per-row ACCESS chunks, not a construction buffer:
-    # a device rebuild from it would be garbage (and k-times oversized)
-    index.text_is_access = True
     return index
 
 

@@ -53,7 +53,7 @@ def save_index(prefix: str, index: SbwtIndex) -> str:
         keys3=index.keys3,
         row_pos=index.row_pos,
         text=index.text,
-        text_is_access=np.bool_(getattr(index, "text_is_access", False)),
+        text_is_access=np.bool_(index.text_is_access),
     )
     return path
 
@@ -78,11 +78,10 @@ def load_index(prefix: str) -> SbwtIndex:
             keys3=data["keys3"],
             row_pos=data["row_pos"],
             text=data["text"],
+            # a .sbwt-loaded index round-tripped through the checkpoint
+            # carries per-row access chunks, not a construction buffer
+            text_is_access=bool(data.get("text_is_access", False)),
         )
-        if bool(data.get("text_is_access", False)):
-            # a .sbwt-loaded index round-tripped through the checkpoint:
-            # its text is per-row access chunks, not a construction buffer
-            index.text_is_access = True
         return index
 
 

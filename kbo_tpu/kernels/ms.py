@@ -701,7 +701,7 @@ class DeviceIndex:
         rebuilt = False
         if (
             text is not None
-            and not getattr(index, "text_is_access", False)
+            and not index.text_is_access
             and os.environ.get("KBO_TPU_UPLOAD_INDEX", "0") != "1"
         ):
             text = np.asarray(text, dtype=np.uint8)

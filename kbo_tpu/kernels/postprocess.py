@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kbo_tpu.kernels.ms import _doubling_cummax
+
 # alignment characters encoded as ASCII uint8
 _M, _X, _DASH, _R = ord("M"), ord("X"), ord("-"), ord("R")
 
@@ -58,7 +60,7 @@ def _compose(f, g):
     out_id = f_id & g_id
     out_c = ~out_id & (g_c | (g_id & f_c))
     out_q = jnp.where(g_id, f_q, g_q)
-    out_v = jnp.where(g_id, jnp.where(f_c, f_v, f_v), h_v)
+    out_v = jnp.where(g_id, f_v, h_v)
     out_r = jnp.where(g_id, f_r, h_r)
     return (out_id, out_c, out_q, out_v, out_r)
 
@@ -136,21 +138,6 @@ def _suffix_scan(elems):
 
 
 derandomize_kernel = jax.jit(derandomize_core)
-
-
-def _doubling_cummax(x):
-    """Inclusive left-to-right cummax via Hillis-Steele doubling (see
-    _suffix_scan for why not lax.cummax/associative_scan at large L)."""
-    L = x.shape[0]
-    lowest = jnp.iinfo(x.dtype).min
-    s = 1
-    while s < L:
-        shifted = jnp.concatenate(
-            [jnp.full((s,), lowest, dtype=x.dtype), x[:-s]]
-        )
-        x = jnp.maximum(x, shifted)
-        s <<= 1
-    return x
 
 
 def translate_core(derand: jax.Array, k, threshold, true_len=None) -> jax.Array:
