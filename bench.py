@@ -70,6 +70,9 @@ def main():
             }
             env["JAX_PLATFORMS"] = "cpu"
             env["KBO_BENCH_NO_PROBE"] = "1"
+            # CPU reps are ~1min each at 4.6M; best-of-2 keeps the
+            # fallback inside driver timeouts
+            env.setdefault("KBO_BENCH_REPS", "2")
             os.execve(sys.executable, [sys.executable, __file__], env)
         raise SystemExit("no usable JAX device")
     n = int(float(os.environ.get("KBO_BENCH_GENOME", 4_600_000)))
@@ -146,6 +149,30 @@ def main():
                 file=sys.stderr,
             )
 
+    # headline JSON goes out BEFORE the secondary metrics: if a driver
+    # timeout kills the (slow, CPU-fallback) tail, the result still lands
+    result = {
+        "metric": (
+            f"end-to-end map bases/s ({n/1e6:.1f}M pair, k={k}, {platform}; "
+            "sweep+gap_fill+variant_call+format)"
+        ),
+        "value": round(e2e_bps),
+        "unit": "bases/s",
+        "vs_baseline": (
+            round(e2e_bps / base_bps, 2) if base_bps else None
+        ),
+    }
+    print(json.dumps(result), flush=True)
+    print(
+        f"# build={build_s:.1f}s "
+        f"map_e2e: first={first_s:.1f}s best={e2e_s:.3f}s "
+        f"({e2e_bps/1e6:.2f} Mbases/s) "
+        f"native_e2e={base_bps/1e6 if base_bps else 0:.2f} Mbases/s "
+        f"parity_mismatches={parity}",
+        file=sys.stderr,
+        flush=True,
+    )
+
     # ---- secondary: find-core device throughput + batch serving ----
     from kbo_tpu.engine import device_index
     from kbo_tpu.index.encode import encode_ascii
@@ -184,7 +211,10 @@ def main():
         return max((time.time() - t0) / r - rtt, 1e-9), cs
 
     progress(f"map reps done (best {e2e_s:.3f}s)")
-    find_s, _ = timeit(find_fn, find_args, max(reps, 6))
+    # secondary reps: 6 for stable sub-100ms TPU timings; on the CPU
+    # fallback each rep is tens of seconds, so honor KBO_BENCH_REPS
+    sec_reps = reps if platform == "cpu" else max(reps, 6)
+    find_s, _ = timeit(find_fn, find_args, sec_reps)
     find_bps = n / find_s
     progress(f"find-core done ({find_s*1e3:.1f}ms)")
 
@@ -206,32 +236,16 @@ def main():
         dev.keys2, dev.cap2,
         jnp.asarray(codes_b), jnp.asarray(lengths_b), thr,
     )
-    batch_s, _ = timeit(batch_fn, batch_args, max(reps, 6))
+    batch_s, _ = timeit(batch_fn, batch_args, sec_reps)
     batch_qps = QN / batch_s
 
-    result = {
-        "metric": (
-            f"end-to-end map bases/s ({n/1e6:.1f}M pair, k={k}, {platform}; "
-            "sweep+gap_fill+variant_call+format)"
-        ),
-        "value": round(e2e_bps),
-        "unit": "bases/s",
-        "vs_baseline": (
-            round(e2e_bps / base_bps, 2) if base_bps else None
-        ),
-    }
     print(
-        f"# build={build_s:.1f}s rtt={rtt*1e3:.0f}ms "
-        f"map_e2e: first={first_s:.1f}s best={e2e_s:.3f}s "
-        f"({e2e_bps/1e6:.2f} Mbases/s) "
-        f"native_e2e={base_bps/1e6 if base_bps else 0:.2f} Mbases/s "
-        f"parity_mismatches={parity} "
+        f"# rtt={rtt*1e3:.0f}ms "
         f"find-core: {find_s*1e3:.1f}ms ({find_bps/1e6:.1f} Mbases/s) "
         f"batch[{QN}x{QL}]: {batch_s*1e3:.1f}ms "
         f"({batch_qps:,.0f} queries/s, {QN*QL/batch_s/1e6:.1f} Mbases/s)",
         file=sys.stderr,
     )
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
