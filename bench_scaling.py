@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Scaling-efficiency report: batched query serving over a device mesh.
+
+The north-star metric (BASELINE.json) asks for bases/s and queries/s
+scaling efficiency at 1 chip / 1 host / N hosts. This harness runs the
+batched matches pipeline (the serving workload: MS sweep + derandomize +
+translate over [Q, L] query batches, index replicated per device, queries
+data-parallel -- parallel/mesh.py) over meshes of 1, 2, 4, ... devices
+and reports throughput + parallel efficiency per size.
+
+On real multi-chip hardware this measures ICI-attached scaling; on a
+single host it still runs (and is CI-checkable) with virtual devices:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+    JAX_PLATFORMS=cpu python bench_scaling.py
+
+Virtual CPU devices share the machine's cores, so efficiency there
+reflects harness overhead, not hardware scaling -- the platform is
+recorded in the output so the two are never confused.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <queries/s at max mesh>, "unit": "queries/s",
+   "scaling": [{"devices": n, "queries_per_s": ..., "efficiency": ...}]}
+
+Env knobs: KBO_SCALE_QN (queries, default 512), KBO_SCALE_QL (query
+length, default 4096), KBO_SCALE_GENOME (index size, default 1e6),
+KBO_SCALE_K (default 31), KBO_SCALE_REPS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    qn = int(os.environ.get("KBO_SCALE_QN", 512))
+    ql = int(os.environ.get("KBO_SCALE_QL", 4096))
+    n = int(float(os.environ.get("KBO_SCALE_GENOME", 1_000_000)))
+    k = int(os.environ.get("KBO_SCALE_K", 31))
+    reps = int(os.environ.get("KBO_SCALE_REPS", 3))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from kbo_tpu import BuildOpts, build
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.ops.derandomize import random_match_threshold
+    from kbo_tpu.parallel.mesh import make_mesh, matches_batch_sharded
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, n)].tobytes()
+    index = build([genome], BuildOpts(k=k))
+    threshold = random_match_threshold(k, index.n_kmers, 4, 1e-7)
+
+    # queries: windows of the genome with a sprinkle of SNPs, so the sweep
+    # does real derandomization work rather than all-match fast paths
+    q_list = []
+    for i in range(qn):
+        s0 = (i * 7919) % (n - ql)
+        w = bytearray(genome[s0 : s0 + ql])
+        for p in range(100, ql - 100, 500):
+            w[p] = bases[rng.integers(0, 4)]
+        q_list.append(encode_ascii(bytes(w)))
+
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    if sizes[-1] != n_dev:
+        sizes.append(n_dev)
+
+    rows = []
+    for s in sizes:
+        mesh = make_mesh(s)
+        out = matches_batch_sharded(index, q_list, threshold, mesh)  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = matches_batch_sharded(index, q_list, threshold, mesh)
+            best = min(best, time.perf_counter() - t0)
+        assert len(out) == qn
+        qps = qn / best
+        rows.append({"devices": s, "queries_per_s": round(qps, 1),
+                     "mbases_per_s": round(qn * ql / best / 1e6, 1)})
+        print(
+            f"# {s} device(s): {best*1e3:.1f} ms -> {qps:,.0f} queries/s",
+            file=sys.stderr, flush=True,
+        )
+
+    base = rows[0]["queries_per_s"]
+    for r in rows:
+        r["efficiency"] = round(r["queries_per_s"] / (base * r["devices"]), 3)
+    print(json.dumps({
+        "metric": (
+            f"batched matches queries/s ({qn}x{ql}, k={k}, {platform}, "
+            f"index {n/1e6:.1f}M; data-parallel mesh scaling)"
+        ),
+        "value": rows[-1]["queries_per_s"],
+        "unit": "queries/s",
+        "scaling": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
