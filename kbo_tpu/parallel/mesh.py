@@ -146,7 +146,10 @@ def matches_long_sharded(
     for i in range(n):
         s = i * chunk
         lo = max(0, s - halo)
-        hi = min(L, s + chunk + halo)
+        # ceil-division chunking can push trailing shards past the end
+        # (s >= L when n*chunk - L >= chunk); clamp so hi >= lo and the
+        # output loop below emits nothing for them
+        hi = max(min(L, s + chunk + halo), lo)
         rows[i, : hi - lo] = codes[lo:hi]
         lengths[i] = hi - lo
         offs[i] = s - lo
@@ -171,6 +174,8 @@ def matches_long_sharded(
     for i in range(n):
         s = i * chunk
         e = min(L, s + chunk)
+        if e <= s:  # trailing shard entirely past the end
+            continue
         off = int(offs[i])
         out_chars[s:e] = chars[i, off : off + (e - s)]
         out_ms[s:e] = ms[i, off : off + (e - s)]

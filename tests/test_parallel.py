@@ -107,3 +107,70 @@ def test_long_sharded_matches_single():
     got_chars, got_ms = matches_long_sharded(index, codes, threshold, mesh)
     np.testing.assert_array_equal(got_ms, want_ms[0])
     np.testing.assert_array_equal(got_chars, want_chars[0])
+
+
+def test_long_sharded_trailing_shard_past_end():
+    """Ceil-division chunking can start trailing shards at or past the
+    sequence end (possible when chunk is barely above the halo and the
+    mesh is wide); those shards must contribute nothing instead of
+    crashing or mis-slicing. The 32-device crash case needs its own
+    process (the suite pins 8 virtual devices), so n=32 runs as a child."""
+    from kbo_tpu.parallel.mesh import make_mesh, matches_long_sharded
+
+    rng = np.random.default_rng(9)
+    genome = BASES[rng.integers(0, 4, 4000)].tobytes()
+    index = build([genome], BuildOpts(k=3))
+
+    # n=8: last shard starts exactly at L (L=120: chunk=15, s_7=105; and
+    # L=57: chunk=8 > halo=7, boundary-tight)
+    for L in (57, 120):
+        seq = genome[:L]
+        codes = encode_ascii(seq)
+        chars, ms = matches_long_sharded(index, codes, 2, make_mesh(8))
+        noisy, _ = query_ms_codes(index, codes)
+        derand = derandomize_ms_vec(noisy, 3, 2)
+        want = translate_ms_vec(derand, 3, 2)
+        np.testing.assert_array_equal(ms, noisy)
+        assert [chr(c) for c in chars] == want
+
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=32"
+    child = textwrap.dedent(
+        """
+        import numpy as np
+        from kbo_tpu import BuildOpts, build
+        from kbo_tpu.index.encode import encode_ascii
+        from kbo_tpu.ops.ms import query_ms_codes
+        from kbo_tpu.ops.derandomize import derandomize_ms_vec
+        from kbo_tpu.ops.translate import translate_ms_vec
+        from kbo_tpu.parallel.mesh import make_mesh, matches_long_sharded
+
+        rng = np.random.default_rng(9)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        genome = bases[rng.integers(0, 4, 4000)].tobytes()
+        index = build([genome], BuildOpts(k=3))
+        # L=240, n=32: chunk=8 > halo=7 and the last shard's window start
+        # (248 - halo) lies past the end -- the pre-fix crash shape
+        for L in (240, 249):
+            codes = encode_ascii(genome[:L])
+            chars, ms = matches_long_sharded(index, codes, 2, make_mesh(32))
+            noisy, _ = query_ms_codes(index, codes)
+            want = translate_ms_vec(derandomize_ms_vec(noisy, 3, 2), 3, 2)
+            assert ms.tolist() == list(noisy), L
+            assert [chr(c) for c in chars] == want, L
+        print("OK32")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, capture_output=True,
+        timeout=300, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK32" in proc.stdout
