@@ -48,13 +48,14 @@ def _read_fastx_native(path) -> list[tuple[str, bytes]] | None:
     if scan is None:
         return None
     data = _read_raw(path)
+    first = _sniff(data.lstrip(), path)
     buf = np.frombuffer(data, dtype=np.uint8)
-    if buf.size == 0:
-        raise ValueError(f"{path}: not a FASTA/FASTQ file")
-    first = bytes(buf[:1])
     fn = lib.fastx_scan_fasta if first == b">" else lib.fastx_scan_fastq
-    if first not in (b">", b"@"):
-        raise ValueError(f"{path}: not a FASTA/FASTQ file")
+    if first == b"@":
+        # the FASTA scanner tolerates leading blank lines; the FASTQ one
+        # treats them as separators, so both accept the stripped view
+        buf = np.frombuffer(data.lstrip(), dtype=np.uint8)
+        data = data.lstrip()
     import ctypes
 
     n = int(fn(buf, np.int64(buf.size), None, None, np.int64(0)))
@@ -82,6 +83,15 @@ def _read_fastx_native(path) -> list[tuple[str, bytes]] | None:
     ]
 
 
+def _sniff(data: bytes, path) -> bytes:
+    """First significant byte decides the format (leading blank lines are
+    tolerated, as the reference's needletail parser does)."""
+    first = data[:1]
+    if first not in (b">", b"@"):
+        raise ValueError(f"{path}: not a FASTA/FASTQ file")
+    return first
+
+
 def read_fastx(path) -> list[tuple[str, bytes]]:
     """Parse a FASTA or FASTQ file -> [(record name, sequence bytes)]."""
     path = pathlib.Path(path)
@@ -96,11 +106,9 @@ def read_fastx_py(path) -> list[tuple[str, bytes]]:
     path = pathlib.Path(path)
     records: list[tuple[str, bytes]] = []
     with _open(path) as fh:
-        first = fh.peek(1)[:1] if hasattr(fh, "peek") else b""
-        if not first:
-            head = fh.read(1)
-            fh.seek(0)
-            first = head
+        head = fh.read()
+        first = _sniff(head.lstrip(), path)
+        fh = io.BytesIO(head.lstrip() if first == b"@" else head)
         if first == b">":
             name = None
             chunks: list[bytes] = []

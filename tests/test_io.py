@@ -82,3 +82,12 @@ def test_malformed_rejected(tmp_path):
     p = _write(tmp_path, "bad.txt", b"not a fasta\n")
     with pytest.raises(ValueError):
         read_fastx(p)
+
+def test_leading_blank_lines_tolerated(tmp_path):
+    # needletail (the reference's parser) skips leading blank lines
+    p1 = _write(tmp_path, "lead.fasta", b"\n\r\n" + FASTA)
+    assert read_fastx(p1) == read_fastx_py(p1)
+    assert read_fastx(p1)[0][1] == b"ACGTACGTGGTT"
+    p2 = _write(tmp_path, "lead.fastq", b"\n \n" + FASTQ)
+    assert read_fastx(p2) == read_fastx_py(p2)
+    assert read_fastx(p2)[0] == ("read1 some desc", b"ACGTACGTAA")
