@@ -1,0 +1,60 @@
+"""Device->host round-trip budget for the map pipeline.
+
+The axon relay costs ~30ms per fetch, so e2e map speed is set by the
+NUMBER of device->host materializations, not device FLOPs (the round-1
+fill_gaps once made 746 per-gap fetches). This test pins the steady-state
+budget: a warm `map_` call may materialize at most 4 jax arrays. CPU
+timings would never catch a regression here -- the count is the contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from kbo_tpu import BuildOpts, MapOpts, build, map_
+
+
+@pytest.fixture()
+def fetch_counter(monkeypatch):
+    fetches = []
+    orig_asarray, orig_array = np.asarray, np.array
+
+    def wrap(fn):
+        def inner(obj, *a, **k):
+            if isinstance(obj, jax.Array):
+                fetches.append((tuple(obj.shape), str(obj.dtype)))
+            return fn(obj, *a, **k)
+
+        return inner
+
+    monkeypatch.setattr(np, "asarray", wrap(orig_asarray))
+    monkeypatch.setattr(np, "array", wrap(orig_array))
+    return fetches
+
+
+def test_map_steady_state_fetch_budget(fetch_counter):
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 120_000
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    q = bytearray(ref)
+    for p in range(500, n - 500, 1000):
+        q[p] = bases[rng.integers(0, 4)]
+    del q[n // 2 : n // 2 + 3]
+    bo = BuildOpts(k=51, build_select=True)
+    idx = build([bytes(q)], bo)
+    mo = MapOpts(sbwt_build_opts=bo)
+
+    out = map_(ref, idx, mo)  # warm: compiles + capacity discovery
+    fetch_counter.clear()
+    out2 = map_(ref, idx, mo)
+    assert out2 == out
+    n_fetches = len(fetch_counter)
+    total_kb = sum(
+        int(np.prod(s)) * np.dtype(d).itemsize for s, d in fetch_counter
+    ) / 1e3
+    assert n_fetches <= 4, (
+        f"steady-state map_ made {n_fetches} device fetches "
+        f"({total_kb:.0f} KB): {fetch_counter}"
+    )
