@@ -170,6 +170,25 @@ def call(
             # device (engine.compute_ms_values_vs_seq)
             assert opts.sbwt_build_opts.k == sbwt_query.k
             ref_codes = encode_ascii(ref_seq)
+            if noisy_ms is None and drops is None and ivals is None:
+                # standalone call: detect MS drops ON DEVICE and fetch
+                # only the compacted positions -- the full [L] int32 MS
+                # download costs more than the sweep through a remote
+                # relay. The device row feeds the sparse interval
+                # provider so nothing full-length ever leaves the chip.
+                from kbo_tpu.kernels.ms import (
+                    ms_drops_device,
+                    query_ms_row_device,
+                )
+
+                d = derandomize.random_match_threshold(
+                    sbwt_query.k, sbwt_query.n_kmers, 4, opts.max_error_prob
+                )
+                row = query_ms_row_device(sbwt_query, ref_codes)
+                drops = ms_drops_device(row, d)
+                ivals = engine.SparseIntervals(
+                    sbwt_query, ref_codes, ms=row
+                )
             if opts.sbwt_build_opts.add_revcomp:
                 from kbo_tpu.index.encode import revcomp_ascii
 

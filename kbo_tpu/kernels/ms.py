@@ -787,6 +787,50 @@ def query_ms_values_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
     return np.asarray(ms[dev.k - 1 : dev.k - 1 + L], dtype=np.int64)
 
 
+def query_ms_row_device(index: SbwtIndex | DeviceIndex, codes: np.ndarray):
+    """Device-RESIDENT int32 MS row for one encoded query (never fetched).
+
+    Callers that only need sparse reads (drop detection, interval probes)
+    keep the row on device and fetch compacted results instead of the full
+    [L] vector -- through a remote relay the bulk download costs more than
+    the sweep itself.
+    """
+    dev = DeviceIndex(index) if isinstance(index, SbwtIndex) else index
+    buf, L = make_flat_buffer(np.asarray(codes), dev.k)
+    ms = _ms2_jit(dev.keys2, dev.cap2, jnp.asarray(buf), dev.k)
+    return ms[dev.k - 1 : dev.k - 1 + L]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _drops_packed_jit(ms_row, d, cap: int):
+    """[1 + cap] int32: drop count, then the first `cap` drop positions
+    ascending (sentinel-padded). Drop rule = the reference's variant-start
+    signal ms[i] < ms[i-1] and ms[i-1] >= d and ms[i] < d
+    (src/variant_calling.rs:269)."""
+    L = ms_row.shape[0]
+    prev = jnp.concatenate([ms_row[:1], ms_row[:-1]])
+    idx = jnp.arange(L, dtype=jnp.int32)
+    mask = (idx >= 1) & (ms_row < prev) & (prev >= d) & (ms_row < d)
+    count = jnp.sum(mask, dtype=jnp.int32)
+    vals = jnp.where(mask, idx, jnp.int32(0x7FFFFFFF))
+    pos = jax.lax.sort(vals, is_stable=False)[:cap]
+    return jnp.concatenate([count[None], pos])
+
+
+def ms_drops_device(ms_row, d: int, cap0: int = 4096) -> np.ndarray:
+    """Drop positions from a device MS row: ONE small fetch (count +
+    compacted positions), capacity-doubling retry when the drop count
+    exceeds the guess."""
+    L = int(ms_row.shape[0])
+    cap = min(max(64, cap0), L)
+    while True:
+        packed = np.asarray(_drops_packed_jit(ms_row, jnp.int32(d), cap))
+        count = int(packed[0])
+        if count <= cap:
+            return packed[1 : 1 + count].astype(np.int64)
+        cap = min(cap * 4, L)
+
+
 # ------------------------------------------------- device-built seq index
 
 
