@@ -111,6 +111,10 @@ def find_batch(
 
         if isinstance(sbwt, DeviceSeqIndex):
             assert mesh is None, "device-seq index path is single-device"
+            if opts.max_gap_len == 0:
+                from kbo_tpu.pipeline import find_rle_batch_seq
+
+                return find_rle_batch_seq(sbwt, code_list, threshold)
             from kbo_tpu.pipeline import matches_batch_seq
 
             chars_list = matches_batch_seq(sbwt, code_list, threshold)
@@ -120,6 +124,12 @@ def find_batch(
             chars_list = matches_batch_sharded(
                 sbwt, code_list, threshold, mesh=mesh
             )
+        elif opts.max_gap_len == 0:
+            # segments are extracted ON DEVICE: a compact per-segment
+            # table is fetched instead of the full [Q, L] chars array
+            from kbo_tpu.pipeline import find_rle_batch
+
+            return find_rle_batch(sbwt, code_list, threshold)
         else:
             from kbo_tpu.pipeline import matches_batch
 

@@ -185,3 +185,75 @@ def translate_ms_device(derand_ms: np.ndarray, k: int, threshold: int) -> list[s
         jnp.int32(k), jnp.int32(threshold),
     )
     return [chr(c) for c in np.asarray(out)]
+
+
+# ------------------------------------------------------- device RLE (find)
+
+
+def _rle_compact(mask, idx, cap: int):
+    """Ascending positions where mask holds, sentinel-padded to `cap`."""
+    vals = jnp.where(mask, idx, jnp.int32(0x7FFFFFFF))
+    return jax.lax.sort(vals, is_stable=False)[:cap]
+
+
+def rle_segments_core(chars, lengths, cap: int):
+    """Device RLE extraction for ``max_gap_len == 0`` (the `find` default).
+
+    At zero gap tolerance a segment is exactly a maximal run of non-gap
+    characters (reference: src/format.rs:143-193 -- a single dash overflows
+    immediately and its open/bases back out to zero), so per-segment stats
+    reduce to prefix-sum differences at the run boundaries: no full-length
+    chars download, just a [Q, 1 + 5*cap] int32 fetch per batch. Layout per
+    row: count, then cap columns each of start, end (half-open), matches,
+    mismatches, jumps (sentinel 0x7FFFFFFF starts past the count).
+    """
+    Q, L = chars.shape
+
+    def one(c, n):
+        idx = jnp.arange(L, dtype=jnp.int32)
+        in_len = idx < n
+        is_gap = (c == jnp.uint8(ord("-"))) | (c == jnp.uint8(ord(" ")))
+        mask = in_len & ~is_gap
+        prev_mask = jnp.concatenate([jnp.zeros((1,), bool), mask[:-1]])
+        next_mask = jnp.concatenate([mask[1:], jnp.zeros((1,), bool)])
+        seg_start = mask & ~prev_mask
+        seg_end = mask & ~next_mask
+        aligned = (
+            (c == jnp.uint8(ord("M")))
+            | (c == jnp.uint8(ord("R")))
+            | (c == jnp.uint8(ord("I")))
+        )
+        # 'D'/'-' are gap_bases in the reference but cannot appear inside a
+        # zero-tolerance segment ('D' only exists after map refinement;
+        # find chars are M/X/-/R), so non-aligned in-segment chars are
+        # mismatches
+        prev_r = jnp.concatenate(
+            [jnp.zeros((1,), bool), c[:-1] == jnp.uint8(ord("R"))]
+        )
+        jump = mask & (c == jnp.uint8(ord("R"))) & prev_r
+        cm = jnp.cumsum((mask & aligned).astype(jnp.int32))
+        cx = jnp.cumsum((mask & ~aligned).astype(jnp.int32))
+        cj = jnp.cumsum(jump.astype(jnp.int32))
+        count = jnp.sum(seg_start, dtype=jnp.int32)
+        starts = _rle_compact(seg_start, idx, cap)
+        ends = _rle_compact(seg_end, idx, cap)
+        sp = jnp.clip(starts, 0, L - 1)
+        ep = jnp.clip(ends, 0, L - 1)
+        base = jnp.where(sp > 0, cm[jnp.maximum(sp - 1, 0)], 0)
+        base_x = jnp.where(sp > 0, cx[jnp.maximum(sp - 1, 0)], 0)
+        base_j = jnp.where(sp > 0, cj[jnp.maximum(sp - 1, 0)], 0)
+        return jnp.concatenate(
+            [
+                count[None],
+                starts,
+                jnp.where(ends < jnp.int32(0x7FFFFFFF), ep + 1, ends),
+                cm[ep] - base,
+                cx[ep] - base_x,
+                cj[ep] - base_j,
+            ]
+        )
+
+    return jax.vmap(one)(chars, lengths)
+
+
+rle_segments = jax.jit(rle_segments_core, static_argnames=("cap",))

@@ -166,3 +166,85 @@ def matches_batch_seq(
     # slow path in the axon relay (~76s for 0.5MB vs 0.09s for int32)
     chars = np.asarray(chars.astype(jnp.int32)).astype(np.uint8)
     return [chars[i, : c.size] for i, c in enumerate(code_list)]
+
+
+# ----------------------------------------------------- device RLE (find)
+
+
+def _rle_structs(packed: np.ndarray, cap: int, code_list):
+    """[Q, 1+5*cap] int32 -> per-query RLE lists (None if any row
+    overflowed `cap`)."""
+    from kbo_tpu.ops.format import RLE
+
+    out = []
+    for i, _ in enumerate(code_list):
+        row = packed[i]
+        cnt = int(row[0])
+        if cnt > cap:
+            return None
+        cols = row[1:].reshape(5, cap)
+        out.append(
+            [
+                RLE(
+                    start=int(cols[0, s]),
+                    end=int(cols[1, s]),
+                    matches=int(cols[2, s]),
+                    mismatches=int(cols[3, s]),
+                    jumps=int(cols[4, s]),
+                )
+                for s in range(cnt)
+            ]
+        )
+    return out
+
+
+def _rle_from_device_chars(chars_dev, lengths, code_list):
+    """Device chars [Q, L] -> RLE lists via the device segmentation kernel
+    (capacity-doubling retry; only the compact table is ever fetched)."""
+    from kbo_tpu.kernels.postprocess import rle_segments
+
+    Q, L = chars_dev.shape
+    # start small (segments are few unless the alignment is gap-torn);
+    # the retry loop quadruples on overflow
+    cap = _bucket(max(64, min(L // 64 + 1, 1024)), lo=64)
+    lengths_dev = jnp.asarray(lengths)
+    while True:
+        packed = np.asarray(rle_segments(chars_dev, lengths_dev, cap))
+        out = _rle_structs(packed, cap, code_list)
+        if out is not None:
+            return out
+        cap = min(cap * 4, (L + 1) // 2 + 1)
+
+
+def find_rle_batch(
+    index: SbwtIndex, code_list: list[np.ndarray], threshold: int
+):
+    """Batched find segments with DEVICE RLE extraction (max_gap_len == 0
+    semantics): the full chars array never leaves the device -- one compact
+    [Q, 1+5*cap] int32 fetch replaces the [Q, L] download."""
+    from kbo_tpu.engine import device_index
+
+    dev = device_index(index)
+    codes, lengths = pad_batch(code_list, bucket=True)
+    chars, _ms = matches_pipeline(
+        dev.keys2,
+        dev.cap2,
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        dev.k,
+        jnp.int32(threshold),
+    )
+    return _rle_from_device_chars(chars, lengths, code_list)
+
+
+def find_rle_batch_seq(dev_index, code_list: list[np.ndarray], threshold: int):
+    """Device-RLE find against a device-built sequence index."""
+    codes, lengths = pad_batch(code_list, bucket=True)
+    chars = _matches_seq_jit(
+        tuple(dev_index.ref_words),
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        dev_index.k,
+        jnp.int32(threshold),
+    )
+    return _rle_from_device_chars(chars, lengths, code_list)

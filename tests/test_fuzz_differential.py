@@ -86,3 +86,39 @@ def test_matches_device_vs_host_oracle(seed):
     assert [chr(c) for c in got_chars[0]] == want_chars, (
         f"seed={seed} k={k} thr={threshold} L={len(seq)}"
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_find_device_rle_vs_host(seed):
+    """find_batch's device RLE extraction == host run_lengths on the
+    fetched chars, across random mutation configs."""
+    from kbo_tpu import FindOpts
+    from kbo_tpu.api import find_batch
+    from kbo_tpu.ops.format import run_lengths
+    from kbo_tpu.pipeline import matches_batch
+
+    rng = np.random.default_rng([seed, 313])
+    n = int(rng.integers(1200, 5000))
+    genome = BASES[rng.integers(0, 4, n)].tobytes()
+    k = int(rng.choice([15, 31, 51]))
+    index = build([genome], BuildOpts(k=k))
+    queries = []
+    for _ in range(5):
+        ln = int(rng.integers(200, 1100))
+        s = int(rng.integers(0, n - ln))
+        q = bytearray(genome[s : s + ln])
+        for p in np.nonzero(rng.random(ln) < 0.02)[0]:
+            q[p] = BASES[rng.integers(0, 4)]
+        queries.append(bytes(q))
+
+    got = find_batch(queries, index, FindOpts())
+    thr = random_match_threshold(k, index.n_kmers, 4, 1e-7)
+    chars_list = matches_batch(index, [encode_ascii(q) for q in queries], thr)
+    for g, chars in zip(got, chars_list):
+        want = run_lengths(chars)
+        assert len(g) == len(want), (seed, k)
+        for a, b in zip(g, want):
+            assert (a.start, a.end, a.matches, a.mismatches, a.jumps,
+                    a.gap_bases, a.gap_opens) == (
+                b.start, b.end, b.matches, b.mismatches, b.jumps,
+                b.gap_bases, b.gap_opens), (seed, k, a, b)
