@@ -44,7 +44,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from kbo_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from kbo_tpu import BuildOpts, build
     from kbo_tpu.index.encode import encode_ascii

@@ -35,13 +35,14 @@ if _os.environ.get("KBO_TPU_X64", "1") != "0":
     except ImportError:
         pass
 
-_cache_dir = _os.environ.get(
-    "KBO_TPU_COMPILE_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
-)
+# Persistent XLA compile cache is OPT-IN (KBO_TPU_COMPILE_CACHE=<dir>):
+# importing the library must not point the global JAX cache at a directory
+# of AOT executables that may have been compiled on a different machine
+# (XLA:CPU AOT blobs are machine-specific and loading a foreign one can
+# SIGSEGV/SIGILL). The long-compile entry points that benefit from caching
+# (bench.py, __graft_entry__.py, bench_scaling.py) opt in themselves.
+_cache_dir = _os.environ.get("KBO_TPU_COMPILE_CACHE", "")
 if _cache_dir and _cache_dir != "0":
-    # Persistent XLA compile cache: first compiles through the remote TPU
-    # relay cost 20-40s per kernel shape; cached reruns are milliseconds.
-    # KBO_TPU_COMPILE_CACHE=<dir> overrides, =0 disables.
     try:
         import jax as _jax
 
@@ -49,16 +50,22 @@ if _cache_dir and _cache_dir != "0":
             "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
         )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        # Pallas/Mosaic kernels serialize MLIR source locations INCLUDING
-        # the caller's stack frames into the custom-call payload, so the
-        # same kernel lowered from two different scripts (or after a
-        # different number of prior lowerings) hashes to a different
-        # persistent-cache key -- every fresh process recompiled the big
-        # kernels (~140s each at 2M). Dropping tracebacks from locations
-        # makes the payload canonical and the cache key stable.
-        _jax.config.update("jax_traceback_in_locations_limit", 0)
     except ImportError:
         pass
+
+try:
+    import jax as _jax
+
+    # Pallas/Mosaic kernels serialize MLIR source locations INCLUDING
+    # the caller's stack frames into the custom-call payload, so the
+    # same kernel lowered from two different scripts (or after a
+    # different number of prior lowerings) hashes to a different
+    # persistent-cache key -- every fresh process recompiled the big
+    # kernels (~140s each at 2M). Dropping tracebacks from locations
+    # makes the payload canonical and the cache key stable.
+    _jax.config.update("jax_traceback_in_locations_limit", 0)
+except ImportError:
+    pass
 
 if _os.environ.get("KBO_TPU_PLATFORM"):
     # Reliable platform override: this environment's sitecustomize registers

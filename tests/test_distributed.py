@@ -85,6 +85,11 @@ def test_two_process_gather_matches_single(tmp_path):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env.pop("JAX_PLATFORMS", None)
+        # never share the persistent compile cache across process kinds:
+        # the gloo-backed worker compiles for a different CPU feature set
+        # than the plain pytest process, and foreign AOT blobs are the
+        # fresh-clone crash class this repo just eliminated
+        env.pop("KBO_TPU_COMPILE_CACHE", None)
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(pid)
