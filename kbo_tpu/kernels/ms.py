@@ -138,6 +138,26 @@ def _doubling_cummax(x):
     return x
 
 
+def _carry_nearest(v, reverse: bool):
+    """Propagate the nearest source value (entries >= 0) to every slot,
+    inclusive, log-depth. -1 marks non-source slots; slots with no source
+    on the scan side keep -1."""
+    L = v.shape[0]
+    s = 1
+    while s < L:
+        if reverse:
+            shifted = jnp.concatenate(
+                [v[s:], jnp.full((s,), -1, v.dtype)]
+            )
+        else:
+            shifted = jnp.concatenate(
+                [jnp.full((s,), -1, v.dtype), v[:-s]]
+            )
+        v = jnp.where(v >= 0, v, shifted)
+        s <<= 1
+    return v
+
+
 _IDA = 2**31 - 1
 _IDB = -(2**31 - 1)
 
@@ -353,7 +373,7 @@ def _neighbor_best(
 
 
 def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
-                ref_sorted=True):
+                ref_sorted=True, ref_hi24=None):
     """Shared packed merge + directional clamped-LCP scans.
 
     Packs ref/query slots into the single uint32 payload (see
@@ -362,9 +382,21 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
     directions. Returns (sw, spacked, f, b) in merged order -- the
     building block for both the value join (max of f/b) and the
     row/uniqueness join (f and b separately, kernels ms3_rows_core).
+
+    ``ref_hi24`` (uint32 [n], values < 2**24) optionally replaces the
+    constant 0xFFFFFF in the reference slots' high payload bits -- free
+    room for per-row data to ride the merge (ms3_rows_core packs the
+    adjacent-row LCS pair there). Callers that read the high bits of
+    reference slots (none today beyond is_ref, which keys off the low
+    byte) must agree on the layout.
     """
     W = len(ref_words)
-    ref_packed = jnp.uint32(0xFFFFFF00) | ref_cap.astype(jnp.uint32)
+    if ref_hi24 is None:
+        ref_packed = jnp.uint32(0xFFFFFF00) | ref_cap.astype(jnp.uint32)
+    else:
+        ref_packed = (ref_hi24.astype(jnp.uint32) << 8) | ref_cap.astype(
+            jnp.uint32
+        )
     q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
     if ref_sorted and _use_pallas_merge():
         from kbo_tpu.kernels.pallas_sort import bitonic_merge
@@ -463,8 +495,18 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     meta = jnp.arange(T, dtype=jnp.int32)
     ref_words = [keys3[w] for w in range(W)]
     ref_cap = jnp.full((n,), jnp.int32(min(k, 254)))
+    # the adjacent-row LCS pair rides the merge in the reference slots'
+    # otherwise-constant high payload bits (k < 128 so each value fits 7
+    # bits): down = lcs3[row] (common suffix with the row below), up =
+    # lcs3[row + 1] (with the row above; 0 past the table). Carrying them
+    # through the sort replaces a [M]-sized gather from the lcs3 table --
+    # the suspected XLA:TPU compile-time bomb at genome scale.
+    lcs_up = jnp.concatenate([lcs3[1:], jnp.zeros((1,), lcs3.dtype)])
+    ref_hi24 = (
+        lcs3.astype(jnp.uint32) | (lcs_up.astype(jnp.uint32) << 7)
+    )
     sw, spacked, f, b = _merge_scan(
-        ref_words, ref_cap, q_words, meta, 3, _common3
+        ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
     )
     M = sw[0].shape[0]
     is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
@@ -481,12 +523,21 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     right_best = b > f
     x = jnp.where(left_best, xl, xl + 1)
     # block extends past x iff the adjacent-row LCS at the far side >= ms:
-    # left case probe lcs3[x] (= common(x-1, x)); right case lcs3[x + 1]
-    probe = x + right_best.astype(jnp.int32)
-    in_table = (probe >= 0) & (probe < n)
-    lcsv = jnp.where(
-        in_table, lcs3[jnp.clip(probe, 0, n - 1)], jnp.int32(0)
+    # left case needs lcs3[x] = down[x] of the nearest-left row; right case
+    # lcs3[x + 1] = up[x] of the nearest-right row. Both come from nearest-
+    # source carry scans over the merged payload (no gather); a slot with
+    # no source on that side resolves to 0 = "no row beyond the table edge"
+    # (matching the gather formulation's out-of-table clamp). left_best/
+    # right_best themselves imply a source row exists on that side.
+    down_slot = jnp.where(
+        is_ref, ((spacked >> 8) & jnp.uint32(0x7F)).astype(jnp.int32), -1
     )
+    up_slot = jnp.where(
+        is_ref, ((spacked >> 15) & jnp.uint32(0x7F)).astype(jnp.int32), -1
+    )
+    near_down = jnp.maximum(_carry_nearest(down_slot, reverse=False), 0)
+    near_up = jnp.maximum(_carry_nearest(up_slot, reverse=True), 0)
+    lcsv = jnp.where(left_best, near_down, near_up)
     uniq_slot = (
         (ms_slot > 0)
         & (left_best | right_best)
