@@ -471,7 +471,43 @@ def _map_batch_sparse(
                     cap_d, cap_g,
                 )
 
-            chars_dev, packed_dev = run_post(cap_d, cap_g)
+            # fully-on-device refinement (kernels/refine.py): variant
+            # resolution + gap scoring + patch assembly never leave the
+            # chip, and the steady-state map pays ONE fetch (delta runs +
+            # counters). Gated off for revcomp inner indexes (the device
+            # join tables carry the forward text only) and contig counts
+            # beyond the tag capacity; KBO_TPU_MAP_DEVREF=0 forces the
+            # packed-fetch host refinement for differentials.
+            from kbo_tpu.kernels.refine import max_tag
+
+            use_devref = (
+                os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
+                and Q <= max_tag(k)
+                and not (
+                    opts.call_variants and opts.sbwt_build_opts.add_revcomp
+                )
+            )
+            if use_devref:
+                from kbo_tpu.refine.device_map import (
+                    DevRefOverflow,
+                    map_devref_finish,
+                )
+
+                while True:
+                    chars_dev, packed_dev, pieces = run_post(cap_d, cap_g)
+                    try:
+                        return map_devref_finish(
+                            dev, codes_dev, lengths_dev, ms_dev,
+                            chars_dev, pieces, packed_dev, ref_seqs,
+                            query_sbwt, code_list, opts, threshold,
+                            cap_d, cap_g,
+                            total_gap_slack=cap_g * 2 + 64,
+                        )
+                    except DevRefOverflow as o:
+                        cap_d = _pow2_cap(o.need_d)
+                        cap_g = _pow2_cap(o.need_g)
+
+            chars_dev, packed_dev, _pieces = run_post(cap_d, cap_g)
             block = np.asarray(packed_dev)
             counts = block[:, :2]
             if (
@@ -480,7 +516,7 @@ def _map_batch_sparse(
             ):
                 cap_d = _pow2_cap(int(counts[:, 0].max()))
                 cap_g = _pow2_cap(int(counts[:, 1].max()))
-                chars_dev, packed_dev = run_post(cap_d, cap_g)
+                chars_dev, packed_dev, _pieces = run_post(cap_d, cap_g)
                 block = np.asarray(packed_dev)
             packed = block[:, 2 : 2 + cap_d + 2 * cap_g]
             scan_block = block[:, 2 + cap_d + 2 * cap_g :]

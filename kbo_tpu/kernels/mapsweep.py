@@ -273,6 +273,20 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         ],
         axis=1,
     )
+    # per-contig clamped gap bases over ALL runs (incl. any beyond the
+    # slot capacities): sum of max(0, min(run_end, n - t) - start) --
+    # feeds the unfilled-bases stat when gap filling is off or fell back
+    clamped_gap = jnp.sum(
+        jnp.where(
+            start_mask,
+            jnp.maximum(
+                jnp.minimum(nnd, lengths[:, None] - t) - idx, 0
+            ),
+            0,
+        ),
+        axis=1,
+        dtype=jnp.int32,
+    )
 
     def refine_one(ms_q, uniq_q, rows_q, dp_row, gs_row, ge_row, n_q):
         # variant anchors: first j in (i, i+k] with ms[j] >= t and a
@@ -338,7 +352,20 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         ],
         axis=1,
     )
-    return chars, packed
+    # the same candidate tables as separate DEVICE arrays: the on-device
+    # refinement kernels (kernels/refine.py) consume these without the
+    # packed fetch ever reaching the host
+    pieces = {
+        "drop_pos": cols(drop_pos, cap_d),
+        "gap_start": cols(gap_start, cap_g),
+        "gap_end_at": cols(gap_end_at, cap_g),
+        "apos": apos,
+        "arow": arow,
+        "grid": grid,
+        "counts": counts,
+        "clamped_gap": clamped_gap,
+    }
+    return chars, packed, pieces
 
 
 map_postprocess3 = jax.jit(
@@ -377,6 +404,12 @@ def assemble_map_core(chars, ref_ascii, lengths, patch_pos, patch_val,
     Q, L = chars.shape
     flat = chars.reshape(-1)
     flat = flat.at[patch_pos].set(patch_val, mode="drop")
+    return _emit_deltas(flat, ref_ascii, lengths, fmt)
+
+
+def _emit_deltas(flat, ref_ascii, lengths, fmt: bool):
+    """Shared tail of the assemble kernels: relative_to_ref + delta runs."""
+    Q, L = ref_ascii.shape
     ref_flat = ref_ascii.reshape(-1)
     if fmt:
         take_ref = (flat == _M) | (flat == ord("R")) | (flat == ord("I"))
@@ -418,6 +451,59 @@ def assemble_map_core(chars, ref_ascii, lengths, patch_pos, patch_val,
 
 
 assemble_map = jax.jit(assemble_map_core, static_argnames=("fmt",))
+
+
+def assemble_map_prio_core(
+    chars, ref_ascii, lengths, pos_grids, prio_val_grids, fmt: bool
+):
+    """Priority-ordered patch application + delta emission.
+
+    ``pos_grids`` / ``prio_val_grids``: parallel lists of int32 arrays
+    (any shape; flattened) where positions are global flat q*L+i
+    (out-of-range = inert) and values pack (priority << 8) | ascii.
+    Duplicate positions resolve by scatter-max on the packed value, so
+    priorities reproduce the host's dict ordering deterministically
+    (XLA scatter with duplicate indices is otherwise unordered): gap
+    fills carry priority 1, variant patches 2 + site order, host extras
+    ride above (kernels/refine.py docstring).
+    """
+    Q, L = chars.shape
+    acc = jnp.zeros(Q * L, dtype=jnp.int32)
+    for pos, pv in zip(pos_grids, prio_val_grids):
+        acc = acc.at[pos.reshape(-1).astype(jnp.int32)].max(
+            pv.reshape(-1).astype(jnp.int32), mode="drop"
+        )
+    flat = jnp.where(
+        acc > 0, (acc & 0xFF).astype(jnp.uint8), chars.reshape(-1)
+    )
+    return _emit_deltas(flat, ref_ascii, lengths, fmt)
+
+
+assemble_map_prio = jax.jit(assemble_map_prio_core, static_argnames=("fmt",))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def fetch_delta_runs_extras(counts, run_start, run_end, run_val, extras,
+                            cap: int):
+    """:func:`fetch_delta_runs` with extra int32 scalars appended after the
+    counts in row 3 -- refinement counters, overflow indicators and host-
+    fallback flags ride the SAME single fetch as the output deltas."""
+    n_extra = extras.shape[0]
+    crow = (
+        jnp.zeros(cap, jnp.int32)
+        .at[:2]
+        .set(counts.astype(jnp.int32))
+        .at[2 : 2 + n_extra]
+        .set(extras.astype(jnp.int32))
+    )
+
+    def fit(row):
+        row = row[:cap].astype(jnp.int32)
+        if row.shape[0] < cap:
+            row = jnp.pad(row, (0, cap - row.shape[0]))
+        return row
+
+    return jnp.stack([fit(run_start), fit(run_end), fit(run_val), crow])
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

@@ -1,0 +1,644 @@
+"""Device-side map refinement: variant resolution + gap-fill scoring.
+
+Round-2's sparse-fetch map still paid ~5 relay round trips per call --
+packed candidates, gap k-mer texts, anchor k-mer texts, the bidirectional
+k-mer MS pair, delta runs -- and at ~100-160 ms per round trip the
+refinement fetches dominated end-to-end map (engine 58-106 Mbases/s vs
+product 2.7 Mbases/s). This module moves the remaining refinement math
+onto the device so the steady-state map pays ONE fetch:
+
+- :func:`resolve_variants_core` -- the full variant pipeline per anchored
+  MS drop (reference: src/variant_calling.rs:249-294): reference k-mers
+  unpacked from the resident colex key table, query k-mers gathered from
+  the resident batch rows, the bidirectional per-k-mer MS re-runs (one via
+  a min-identity against the resident sweep row, one as a contig-tagged
+  sort-join against the sequence's own window keys), the vectorized
+  resolve_variant case analysis (src/variant_calling.rs:139-201), and
+  add_variants patch emission (src/translate.rs:350-386).
+- :func:`score_gaps_core` -- gap-fill candidate scoring, left extension
+  (vectorized binary-search membership probes) and first-success commit
+  (reference: src/gap_filling.rs:444-526); only static-budget overflows
+  fall back to the exact host evaluator.
+- :func:`seq_keys3_tagged_core` -- sorted, contig-tagged 3-bit window keys
+  of the [Q, L] reference batch: the join table for the rk-vs-sequence MS
+  re-runs (the reference's build-an-index-inside-call(), src/lib.rs:553,
+  without the construction).
+
+Multi-contig correctness rides a contig tag embedded in the spare top 2
+bits of every packed 3-bit word (10 chunks x 3 bits = 30 of 32): the tag
+is the most significant part of each word, so the lexicographic sort
+groups windows by contig and the chunk arithmetic of `_common3` (and its
+Pallas twin `pallas_join._common_chunks`) yields lcp <= 0 across contigs.
+Capacity: Q <= 4**W3 contigs (2 bits per word); callers gate.
+
+Patch ordering: the host applied patches through a dict (last write wins,
+gap fills first, then variants in ascending site order). Scatters with
+duplicate indices are UNORDERED in XLA, so patches carry an explicit
+priority in bits 8.. of a packed (priority << 8 | ascii) int32 and land
+via scatter-max: gap patches priority 1 (mutually disjoint), variant
+patches 2 + flat site index (ascending site = ascending priority), host
+extras above all (kernels/mapsweep.assemble_map_prio).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kbo_tpu.kernels.ms import (
+    INVALID,
+    _common3,
+    _neighbor_best,
+    _radix_sort,
+    pack_windows_3bit,
+    w3_for_k,
+)
+
+_BIG32 = jnp.int32(2**31 - 1)
+_OOB = jnp.uint8(254)  # never equals any reference byte
+
+# chunk value (0..7) -> ASCII; 0 is '$', 5/6/7 are never real row content
+# (build pads are 0; sentinel rows are masked upstream) -- map them to 0,
+# which never equals a reference byte either
+_CHUNK_ASCII = jnp.asarray(
+    [ord("$"), ord("A"), ord("C"), ord("G"), ord("T"), 0, 0, 0],
+    dtype=jnp.uint8,
+)
+
+
+def max_tag(k: int) -> int:
+    """Largest contig count the tagged join supports (2 bits per word)."""
+    return 1 << (2 * w3_for_k(k))
+
+
+def _embed_tags(words, tag):
+    """OR a per-slot contig tag into the spare top-2 bits of each word,
+    most significant tag bits in word 0 (lexicographic word order then
+    sorts by (tag, key))."""
+    W = len(words)
+    tag = tag.astype(jnp.uint32)
+    out = []
+    for w in range(W):
+        bits = (tag >> jnp.uint32(2 * (W - 1 - w))) & jnp.uint32(3)
+        out.append(words[w] | (bits << jnp.uint32(30)))
+    return out
+
+
+def seq_keys3_tagged_core(codes, k: int):
+    """Sorted contig-tagged 3-bit window keys of a [Q, L] code batch.
+
+    Pad chunk 5 (the sequence-index convention, kernels.ms
+    ms3_values_vs_sorted_seq_core): pads never match probe chars (1..4)
+    nor probe pads (7). Windows that straddle a row's leading pad carry a
+    5 at distance 0 and join nothing.
+    """
+    Q, L = codes.shape
+    pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+    buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
+    stride = L + k - 1
+    words = pack_windows_3bit(buf, k, pad_chunk=5)
+    tag = jnp.arange(buf.shape[0], dtype=jnp.int32) // jnp.int32(stride)
+    words = _embed_tags(words, tag)
+    return tuple(_radix_sort(words, w3_for_k(k)))
+
+
+seq_keys3_tagged = jax.jit(seq_keys3_tagged_core, static_argnames=("k",))
+
+
+def unpack_rows3(keys3, rows, k: int):
+    """[S] colex rows -> [S, k] chunk codes (0='$', 1..4=ACGT).
+
+    The colex key table IS the packed k-mer text (build pad chunk 0 ==
+    '$'), so extraction is a W-word gather + shifts -- no host text, no
+    select walk (the device answer to access_kmer, reference sbwt crate
+    via src/variant_calling.rs:276).
+    """
+    W = keys3.shape[0]
+    r = jnp.maximum(rows, 0)
+    cols = []
+    for i in range(k):
+        t = k - 1 - i  # distance of char i from the window end
+        w, j = divmod(t, 10)
+        cols.append(((keys3[w][r] >> jnp.uint32(27 - 3 * j)) & jnp.uint32(7)))
+    return jnp.stack(cols, axis=1).astype(jnp.uint8)
+
+
+def _pack_codes_matrix(cm, k: int):
+    """[N, k] chunk codes (0..7; char 0 first) -> W uint32 word list in the
+    colex window-key layout (char at distance t from the END rides word
+    t//10 at bits 27-3*(t%10)), i.e. directly comparable against keys3
+    columns."""
+    words = []
+    for w in range(w3_for_k(k)):
+        acc = jnp.zeros(cm.shape[0], dtype=jnp.uint32)
+        for j in range(10):
+            t = w * 10 + j
+            if t >= k:
+                break
+            acc = acc | (
+                cm[:, k - 1 - t].astype(jnp.uint32) << jnp.uint32(27 - 3 * j)
+            )
+        words.append(acc)
+    return words
+
+
+def _member_rows_device(keys3, probe_words):
+    """Membership of full-length probes in the colex row set: a vectorized
+    binary search (rows are distinct length-k strings, so membership is
+    equality at the lower bound). Sentinel tail rows (0xFFFFFFFF) sort
+    after every probe and never match. Runs inside jit: ~log2(n) gather
+    steps of W words each -- the device twin of the host
+    gap_filling._member_rows binary search."""
+    W = keys3.shape[0]
+    n = keys3.shape[1]
+    N = probe_words[0].shape[0]
+    lo = jnp.zeros(N, dtype=jnp.int32)
+    hi = jnp.full(N, n, dtype=jnp.int32)
+    steps = max(1, int(n).bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        less = jnp.zeros(N, dtype=bool)
+        eq = jnp.ones(N, dtype=bool)
+        for w in range(W):
+            tw = keys3[w][mid]
+            less = less | (eq & (tw < probe_words[w]))
+            eq = eq & (tw == probe_words[w])
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    found = lo < n
+    at = jnp.minimum(lo, n - 1)
+    eq = jnp.ones(N, dtype=bool)
+    for w in range(W):
+        eq = eq & (keys3[w][at] == probe_words[w])
+    return found & eq
+
+
+def left_extend_device(keys3, kmers, budgets, k: int):
+    """Batched left extension on device (reference: src/gap_filling.rs:
+    205-232, mirroring refine.gap_filling._left_extend_batch): per round,
+    prepend each of the four bases to the lane's current (k-1)-prefix and
+    extend iff EXACTLY ONE base yields a member row (full-length probes:
+    nonempty == singleton == membership).
+
+    kmers: [E, k] chunk codes; budgets: [E] int32 (<= k). Returns
+    (exts [E, 2k] chunk codes, LEFT-aligned: char i of the extended
+    string; ext_len [E] = k + n_ext)."""
+    E, _ = kmers.shape
+    prefix0 = kmers[:, : k - 1]
+    pre0 = jnp.zeros((E, k), dtype=jnp.uint8)
+    n0 = jnp.zeros(E, dtype=jnp.int32)
+    act0 = budgets > 0
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    col_k = jnp.arange(k, dtype=jnp.int32)
+
+    def cond(state):
+        _, _, _, active = state
+        return active.any()
+
+    def body(state):
+        prefix, pre, n_ext, active = state
+        cms = []
+        for b in range(1, 5):
+            cms.append(
+                jnp.concatenate(
+                    [jnp.full((E, 1), b, jnp.uint8), prefix], axis=1
+                )
+            )
+        cm = jnp.concatenate(cms, axis=0)  # [4E, k]
+        member = _member_rows_device(
+            keys3, _pack_codes_matrix(cm, k)
+        ).reshape(4, E)
+        n_hits = jnp.sum(member.astype(jnp.int32), axis=0)
+        choice = jnp.argmax(member, axis=0).astype(jnp.int32)
+        ok = active & (n_hits == 1)
+        newchar = (choice + 1).astype(jnp.uint8)
+        pre = jnp.where(
+            ok[:, None] & (col_k[None, :] == n_ext[:, None]),
+            newchar[:, None],
+            pre,
+        )
+        shifted = jnp.concatenate(
+            [newchar[:, None], prefix[:, :-1]], axis=1
+        )
+        prefix = jnp.where(ok[:, None], shifted, prefix)
+        n_ext = n_ext + ok.astype(jnp.int32)
+        active = ok & (n_ext < budgets) & (n_ext < k)
+        return prefix, pre, n_ext, active
+
+    _, pre, n_ext, _ = jax.lax.while_loop(
+        cond, body, (prefix0, pre0, n0, act0)
+    )
+    # left-aligned extended string: char i = pre[n_ext-1-i] for i < n_ext,
+    # else kmer[i - n_ext]
+    i2k = jnp.arange(2 * k, dtype=jnp.int32)[None, :]
+    from_pre = i2k < n_ext[:, None]
+    pre_idx = jnp.clip(n_ext[:, None] - 1 - i2k, 0, k - 1)
+    km_idx = jnp.clip(i2k - n_ext[:, None], 0, k - 1)
+    exts = jnp.where(
+        from_pre,
+        jnp.take_along_axis(pre, pre_idx, axis=1),
+        jnp.take_along_axis(kmers, km_idx, axis=1),
+    )
+    return exts, k + n_ext
+
+
+def _leading_run(eq):
+    """Per row: length of the leading True run (eq: [..., T] bool)."""
+    return jnp.sum(
+        jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1
+    ).astype(jnp.int32)
+
+
+def _trailing_run(eq):
+    return _leading_run(eq[..., ::-1])
+
+
+def _rightmost_peak(ms_mat, d):
+    """Per row: rightmost i <= k-2 with ms[i] >= d and ms[i] > ms[i+1],
+    else -1 (reference: src/variant_calling.rs:73-83)."""
+    mask = (ms_mat[:, :-1] >= d) & (ms_mat[:, :-1] > ms_mat[:, 1:])
+    has = mask.any(axis=1)
+    w = mask.shape[1]
+    last = w - 1 - jnp.argmax(mask[:, ::-1], axis=1).astype(jnp.int32)
+    return jnp.where(has, last, -1)
+
+
+def resolve_variants_core(
+    keys3,
+    seq_words,
+    codes,
+    ref_ascii,
+    ms,
+    lengths,
+    drop_pos,
+    apos,
+    arow,
+    d,
+    k: int,
+    cap_d: int,
+):
+    """Variant patches for every anchored MS drop, fully on device.
+
+    Inputs are the resident sweep outputs: ``ms`` [Q, L] from the 3-bit
+    join, ``drop_pos``/``apos``/``arow`` [Q, cap_d] from the postprocess
+    stage (kernels/mapsweep.py), ``seq_words`` from
+    :func:`seq_keys3_tagged_core`. Returns (patch_pos int32 [S, k] flat
+    q*L+i positions with Q*L = inert, patch_prio_val int32 [S, k],
+    n_variants int32 scalar) where S = Q*cap_d.
+
+    The two per-k-mer MS re-runs (reference: src/variant_calling.rs:
+    279-280) cost no extra join on the query side: the isolated k-mer's
+    window at local offset i packs identically to the sweep's window at
+    the underlying position (both pad with chunk 7 past the window
+    start), and min(lcp, i+1) commutes with the max over rows, so
+    ms_kmer[i] == min(ms_row[apos-k+1+i], i+1) exactly. Only the
+    reference-k-mer-vs-sequence direction needs a real (tagged) join.
+    """
+    Q, L = codes.shape
+    S = Q * cap_d
+    kk = jnp.int32(k)
+
+    drop = drop_pos[:, :cap_d].reshape(S)
+    ap = apos[:, :cap_d].reshape(S)
+    ar = arow[:, :cap_d].reshape(S)
+    q_of = jnp.arange(S, dtype=jnp.int32) // jnp.int32(cap_d)
+    n_q = lengths[q_of]
+    valid = (drop < _BIG32) & (ap >= 0)
+    site = jnp.where(valid, drop, 0)
+    apc = jnp.where(valid, ap, jnp.int32(k - 1))
+
+    # query k-mer (the streamed side's k bases ending at the anchor):
+    # ascii window for the common-suffix/variant-char slices, '$' where
+    # the window runs past the contig start (src/variant_calling.rs:46-58)
+    i_t = jnp.arange(k, dtype=jnp.int32)
+    j = apc[:, None] + i_t[None, :] - jnp.int32(k - 1)  # [S, k]
+    in_seq = j >= 0
+    flat_j = q_of[:, None] * jnp.int32(L) + jnp.maximum(j, 0)
+    ref_flat = ref_ascii.reshape(-1)
+    qa = jnp.where(in_seq, ref_flat[flat_j], jnp.uint8(ord("$")))
+
+    # ms of the query k-mer vs the INDEX: min-identity against the sweep row
+    ms_flat = ms.reshape(-1)
+    msr = jnp.where(
+        in_seq, jnp.minimum(ms_flat[flat_j], i_t[None, :] + 1), 0
+    ).astype(jnp.int32)
+
+    # reference k-mer from the colex key table
+    rk = unpack_rows3(keys3, ar, k)  # [S, k] chunks
+    ra = _CHUNK_ASCII[rk]
+
+    # ms of the reference k-mer vs THE SEQUENCE (tagged join; the probe
+    # buffer pads k-1 slots per row, garbage windows sliced off)
+    pad = jnp.full((S, k - 1), INVALID, jnp.uint8)
+    pbuf = jnp.concatenate([pad, rk], axis=1).reshape(-1)
+    p_words = pack_windows_3bit(pbuf, k, pad_chunk=7)
+    stride = 2 * k - 1
+    p_tag = (
+        jnp.arange(pbuf.shape[0], dtype=jnp.int32)
+        // jnp.int32(stride)
+        // jnp.int32(cap_d)
+    )
+    p_words = _embed_tags(p_words, p_tag)
+    meta = jnp.arange(pbuf.shape[0], dtype=jnp.int32)
+    n_seq = seq_words[0].shape[0]
+    cap_seq = jnp.full((n_seq,), kk)
+    c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
+    msq = jnp.minimum(c, kk).reshape(S, stride)[:, k - 1 :]
+
+    # vectorized resolve_variant (src/variant_calling.rs:139-201)
+    eqa = qa == ra
+    csl = _trailing_run(eqa)
+    qpeak = _rightmost_peak(msr, d)
+    rpeak = _rightmost_peak(msq, d)
+    ok = valid & (csl > 0) & (qpeak >= 0) & (rpeak >= 0)
+    sms = kk - csl
+    qgap = sms - qpeak - 1
+    rgap = sms - rpeak - 1
+    subst = ok & (qgap > 0) & (rgap > 0)
+    indel = ok & ~subst & (qgap != rgap)
+    is_del = indel & (qgap < rgap)  # query overlap larger -> deletion
+    is_ins = indel & ~is_del
+    vlen = jnp.abs(qgap - rgap)
+
+    # add_variants patch emission (src/translate.rs:350-386 via
+    # ops.translate.variant_patches): equal-length substitution writes the
+    # reference k-mer's chars; unequal writes uniform-char-or-N over the
+    # query-chars length; deletion (empty query chars) writes 'I' at
+    # site-1/site; insertion (empty ref chars) writes 'D' per char
+    rc_t = jnp.take_along_axis(
+        ra, jnp.clip(rpeak[:, None] + 1 + i_t[None, :], 0, k - 1), axis=1
+    )
+    subst_eq = subst & (qgap == rgap)
+    subst_ne = subst & (qgap != rgap)
+    in_rc = i_t[None, :] < rgap[:, None]
+    all_eq = jnp.sum((in_rc & (rc_t != rc_t[:, :1])), axis=1) == 0
+    fill = jnp.where(all_eq, rc_t[:, 0], jnp.uint8(ord("N")))
+
+    npatch = jnp.where(
+        subst_eq,
+        rgap,
+        jnp.where(
+            subst_ne, qgap, jnp.where(is_del, 2, jnp.where(is_ins, vlen, 0))
+        ),
+    )
+    base = jnp.where(is_del, site - 1, site)
+    val = jnp.where(
+        subst_eq[:, None],
+        rc_t,
+        jnp.where(
+            subst_ne[:, None],
+            fill[:, None],
+            jnp.where(is_del[:, None], jnp.uint8(ord("I")), jnp.uint8(ord("D"))),
+        ),
+    )
+    emit = i_t[None, :] < npatch[:, None]
+    pos_local = base[:, None] + i_t[None, :]
+    emit = emit & (pos_local >= 0) & (pos_local < n_q[:, None])
+    pos = jnp.where(
+        emit,
+        q_of[:, None] * jnp.int32(L) + pos_local,
+        jnp.int32(Q * L),
+    )
+    # priority 2+s: ascending flat site order == the host's dict order
+    prio = 2 + jnp.arange(S, dtype=jnp.int32)
+    prio_val = (prio[:, None] << 8) | val.astype(jnp.int32)
+    n_variants = jnp.sum((subst | indel).astype(jnp.int32))
+    return pos, prio_val, n_variants
+
+
+def score_gaps_core(
+    keys3,
+    ref_ascii,
+    lengths,
+    gap_start,
+    gap_end_at,
+    grid,
+    threshold,
+    k: int,
+    cap_ge: int,
+    cap_ext: int,
+):
+    """Gap-fill candidate scoring + first-success commit on device.
+
+    Follows refine/gap_filling._score_candidates phases C-E exactly,
+    INCLUDING left extension (:func:`left_extend_device`); the
+    first-success scan is position-descending across both candidate kinds
+    (reference: src/gap_filling.rs:444-526). ``needs_host`` flags only
+    gaps whose extension lanes did not fit the static budgets (more than
+    ``cap_ext`` case_b lanes overall, or an extension budget beyond k
+    chars) -- those fall back to the exact host evaluator.
+
+    grid: [Q, cap_ge, k+1] colex row of candidate jpos = search_lo + c
+    when unique, else -1 (from kernels.mapsweep.map_postprocess3).
+    Returns (patch_pos [G, k], patch_prio_val [G, k], needs_host [G] bool,
+    counters int32 [3] = gaps_seen, gaps_filled, unfilled_bases) with
+    G = Q * cap_ge.
+    """
+    Q, L = ref_ascii.shape
+    G = Q * cap_ge
+    t = jnp.int32(threshold)
+    kk = jnp.int32(k)
+
+    gs_raw = gap_start[:, :cap_ge].reshape(G)
+    ge_raw = gap_end_at[:, :cap_ge].reshape(G)
+    q_of = jnp.arange(G, dtype=jnp.int32) // jnp.int32(cap_ge)
+    n_q = lengths[q_of]
+    real = gs_raw < _BIG32
+    gs = jnp.where(real, gs_raw, 0)
+    end = jnp.minimum(jnp.where(real, ge_raw, 0), n_q - t)
+    gap_len = end - gs
+    fits = gap_len + 2 * t <= kk
+    radius = kk - jnp.where(fits, t, 0)
+    lo = end + t
+    hi = jnp.minimum(end + radius, n_q - 1)
+
+    cgrid = grid.reshape(Q, -1, k + 1)[:, :cap_ge].reshape(G, k + 1)
+    c_t = jnp.arange(k + 1, dtype=jnp.int32)
+    jpos = lo[:, None] + c_t[None, :]
+    cand = real[:, None] & (cgrid >= 0) & (jpos <= hi[:, None])
+
+    rows = jnp.maximum(cgrid, 0).reshape(-1)
+    km = unpack_rows3(keys3, rows, k).reshape(G, k + 1, k)  # chunks
+    ka = _CHUNK_ASCII[km]
+
+    # phase C: overlap run lengths in RAW ASCII space
+    ref_flat = ref_ascii.reshape(-1)
+    off = jnp.arange(k, dtype=jnp.int32)
+    rw_pos = jpos[:, :, None] - jnp.int32(k - 1) + off[None, None, :]
+    rw_ok = (rw_pos >= 0) & (rw_pos < n_q[:, None, None])
+    right_win = jnp.where(
+        rw_ok,
+        ref_flat[q_of[:, None, None] * jnp.int32(L) + jnp.maximum(rw_pos, 0)],
+        _OOB,
+    )
+    rg = _trailing_run((ka == right_win)[:, :, 1:])
+    want = jpos - end[:, None] + 1
+
+    lreq = t
+    rsp = jnp.maximum(gs - lreq, 0)
+    lw_pos = rsp[:, None, None] + off[None, None, :] + jnp.zeros_like(jpos)[:, :, None]
+    lw_ok = lw_pos < n_q[:, None, None]
+    left_win = jnp.where(
+        lw_ok,
+        ref_flat[q_of[:, None, None] * jnp.int32(L) + jnp.minimum(lw_pos, jnp.int32(L - 1))],
+        _OOB,
+    )
+    lg = _leading_run(ka == left_win)
+
+    right_ok = cand & (rg >= jnp.minimum(want, kk))
+    case_a = right_ok & (lg >= lreq)
+    should_extend = kk < lreq + gap_len[:, None] + rg
+    case_b = should_extend & right_ok & (lg < lreq)
+
+    # phase D: left extension for the case_b lanes, on device. Lanes are
+    # sort-compacted into a static budget; a gap owning a lane that does
+    # not fit (cap_ext overflow, or an extension budget beyond k chars)
+    # is flagged for the exact host evaluator instead of guessed.
+    GC = G * (k + 1)
+    bud = lreq + gap_len[:, None] + rg - kk  # > 0 wherever case_b
+    flat_cb = case_b.reshape(-1)
+    rank = jnp.cumsum(flat_cb.astype(jnp.int32)) - flat_cb.astype(jnp.int32)
+    evaluable = flat_cb & (rank < cap_ext) & (bud.reshape(-1) <= kk)
+    dropped = flat_cb & ~evaluable
+    fcand = jnp.where(
+        evaluable, jnp.arange(GC, dtype=jnp.int32), jnp.int32(GC)
+    )
+    fc = jax.lax.sort(fcand, is_stable=False)[:cap_ext]
+    lane_valid = fc < GC
+    fci = jnp.minimum(fc, GC - 1)
+    lane_g = fci // jnp.int32(k + 1)
+    lane_km = km.reshape(GC, k)[fci]
+    lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
+    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k)
+    # leading match of the extended string vs ref from the gap's left
+    # flank (host: _score_candidates phase D)
+    i2k = jnp.arange(2 * k, dtype=jnp.int32)
+    lane_rsp = rsp[lane_g]
+    lane_nq = n_q[lane_g]
+    lane_qof = q_of[lane_g]
+    pos_l = lane_rsp[:, None] + i2k[None, :]
+    avail = (i2k[None, :] < ext_len[:, None]) & (pos_l < lane_nq[:, None])
+    ref_l = jnp.where(
+        avail,
+        ref_flat[
+            lane_qof[:, None] * jnp.int32(L)
+            + jnp.minimum(pos_l, jnp.int32(L - 1))
+        ],
+        _OOB,
+    )
+    ext_ascii = _CHUNK_ASCII[exts]
+    lane_lm = _leading_run(avail & (ext_ascii == ref_l))
+    lane_ok = lane_valid & (lane_lm >= lreq)
+    ext_ok = (
+        jnp.zeros(GC, dtype=bool).at[fc].set(lane_ok, mode="drop")
+    ).reshape(G, k + 1)
+
+    # phase E: first success in DESCENDING position order across BOTH
+    # candidate kinds (the reference's scan order)
+    success = case_a | ext_ok
+    has_w = success.any(axis=1)
+    cwin = k - jnp.argmax(success[:, ::-1], axis=1).astype(jnp.int32)
+    cwin = jnp.where(has_w, cwin, -1)
+    needs_host = real & dropped.reshape(G, k + 1).any(axis=1)
+
+    sel = jnp.maximum(cwin, 0)[:, None]
+    win_is_a = has_w & (jnp.take_along_axis(case_a, sel, axis=1)[:, 0])
+
+    # --- no-extension winner: fill = kmer[start:end]
+    lg_w = jnp.take_along_axis(lg, sel, axis=1)[:, 0]
+    rg_w = jnp.take_along_axis(rg, sel, axis=1)[:, 0]
+    km_w = jnp.take_along_axis(
+        km, sel[:, :, None] + jnp.zeros((1, 1, k), jnp.int32), axis=1
+    )[:, 0]  # [G, k] chunks of the winning k-mer
+    start_a = lg_w - lreq
+    end_a = kk - (rg_w - t)
+    len_a = end_a - start_a
+    i_g = jnp.arange(k, dtype=jnp.int32)
+    in_fill_a = (off[None, :] >= start_a[:, None]) & (
+        off[None, :] < end_a[:, None]
+    )
+    dollar_a = jnp.sum(in_fill_a & (km_w == 0), axis=1) > 0
+    seg_a = _CHUNK_ASCII[
+        jnp.take_along_axis(
+            km_w, jnp.clip(start_a[:, None] + t + i_g[None, :], 0, k - 1),
+            axis=1,
+        )
+    ]
+
+    # --- extension winner: fill = ext[start:end] from the winning lane
+    win_flat = jnp.where(
+        has_w, jnp.arange(G, dtype=jnp.int32) * jnp.int32(k + 1) + sel[:, 0],
+        jnp.int32(GC),
+    )
+    li = jnp.clip(jnp.searchsorted(fc, win_flat), 0, cap_ext - 1)
+    lane_hit = (fc[li] == win_flat) & has_w & ~win_is_a
+    ext_w = exts[li]  # [G, 2k] chunks
+    extlen_w = ext_len[li]
+    lm_w = lane_lm[li]
+    rg_b = jnp.take_along_axis(rg, sel, axis=1)[:, 0]
+    start_b = lm_w - lreq
+    end_b = extlen_w - (rg_b - t)
+    len_b = end_b - start_b
+    in_fill_b = (i2k[None, :] >= start_b[:, None]) & (
+        i2k[None, :] < end_b[:, None]
+    )
+    dollar_b = jnp.sum(in_fill_b & (ext_w == 0), axis=1) > 0
+    seg_b = _CHUNK_ASCII[
+        jnp.take_along_axis(
+            ext_w,
+            jnp.clip(start_b[:, None] + t + i_g[None, :], 0, 2 * k - 1),
+            axis=1,
+        )
+    ]
+
+    fill_len = jnp.where(win_is_a, len_a, len_b)
+    has_dollar = jnp.where(win_is_a, dollar_a, dollar_b)
+    seg_ascii = jnp.where(win_is_a[:, None], seg_a, seg_b)
+    accept = (
+        real
+        & has_w
+        & (win_is_a | lane_hit)
+        & ~needs_host
+        & (fill_len == 2 * t + gap_len)
+        & ~has_dollar
+    )
+
+    # paint: 'M' where the filler agrees with the raw reference bytes,
+    # the filler nucleotide where it does not (src/gap_filling.rs:511-519)
+    ppos_local = gs[:, None] + i_g[None, :]
+    emit = accept[:, None] & (i_g[None, :] < gap_len[:, None])
+    ref_at = ref_flat[
+        q_of[:, None] * jnp.int32(L) + jnp.minimum(ppos_local, jnp.int32(L - 1))
+    ]
+    pval = jnp.where(seg_ascii == ref_at, jnp.uint8(ord("M")), seg_ascii)
+    pos = jnp.where(
+        emit, q_of[:, None] * jnp.int32(L) + ppos_local, jnp.int32(Q * L)
+    )
+    prio_val = (jnp.int32(1) << 8) | pval.astype(jnp.int32)
+
+    handled = real & ~needs_host
+    clamped = jnp.maximum(jnp.where(handled, gap_len, 0), 0)
+    filled = jnp.where(accept, gap_len, 0)
+    counters = jnp.stack(
+        [
+            jnp.sum(handled.astype(jnp.int32)),
+            jnp.sum(accept.astype(jnp.int32)),
+            jnp.sum(clamped - filled),
+        ]
+    )
+    return pos, prio_val, needs_host, counters
+
+
+resolve_variants = jax.jit(
+    resolve_variants_core, static_argnames=("k", "cap_d")
+)
+score_gaps = jax.jit(
+    score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext")
+)

@@ -1,0 +1,148 @@
+"""Differentials for the on-device map refinement (kernels/refine.py +
+refine/device_map.py): the single-fetch devref path must be byte-identical
+to the packed-fetch host refinement (which is itself pinned to the host
+oracle and the reference doctests elsewhere)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, MapOpts, build
+from kbo_tpu import api
+
+
+def _pair(n, k, seed, snp_every=700, del_every=5000, del_len=3,
+          noise_block=0):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    query = bytearray(ref)
+    if snp_every:
+        for p in range(500, n - 500, snp_every):
+            query[p] = bases[rng.integers(0, 4)]
+    if del_every:
+        for p in range(n // 6, n - n // 6, del_every):
+            del query[p : p + del_len]
+    if noise_block:
+        # a low-identity stretch: long gap runs, some unfillable
+        mid = n // 2
+        for p in range(mid, mid + noise_block):
+            query[p] = bases[rng.integers(0, 4)]
+    return ref, bytes(query)
+
+
+def _map_both(ref_seqs, index, mo):
+    env = os.environ
+    old_fused = env.get("KBO_TPU_MAP_FUSED")
+    env["KBO_TPU_MAP_FUSED"] = "1"
+    try:
+        env["KBO_TPU_MAP_DEVREF"] = "0"
+        host = api.map_batch(list(ref_seqs), index, mo)
+        env["KBO_TPU_MAP_DEVREF"] = "1"
+        dev = api.map_batch(list(ref_seqs), index, mo)
+    finally:
+        env.pop("KBO_TPU_MAP_DEVREF", None)
+        if old_fused is None:
+            env.pop("KBO_TPU_MAP_FUSED", None)
+        else:
+            env["KBO_TPU_MAP_FUSED"] = old_fused
+    return host, dev
+
+
+@pytest.mark.parametrize("k", [31, 51])
+def test_devref_matches_host_refinement(k):
+    ref, query = _pair(20_000, k, seed=11)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    host, dev = _map_both([ref], index, mo)
+    assert host == dev
+
+
+def test_devref_multi_contig():
+    k = 31
+    bo = BuildOpts(k=k, build_select=True)
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, 30_000)].tobytes()
+    query = bytearray(genome)
+    for p in range(400, len(query) - 400, 900):
+        query[p] = bases[rng.integers(0, 4)]
+    index = build([bytes(query)], bo)
+    # contigs of varying length, incl. one so short it has flank gaps only
+    refs = [genome[:9000], genome[9000:9600], genome[9600:21000],
+            genome[21000:]]
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    host, dev = _map_both(refs, index, mo)
+    assert host == dev
+
+
+def test_devref_low_identity_triggers_host_fallback_and_matches():
+    # a noisy block yields long gap runs; some candidates sit in
+    # left-extension territory, exercising needs_host + re-assembly
+    k = 31
+    ref, query = _pair(16_384, k, seed=7, snp_every=0, del_every=0,
+                       noise_block=120)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    host, dev = _map_both([ref], index, mo)
+    assert host == dev
+
+
+@pytest.mark.parametrize(
+    "fill_gaps,call_variants,fmt",
+    [(False, True, True), (True, False, True), (True, True, False),
+     (False, False, False)],
+)
+def test_devref_option_combinations(fill_gaps, call_variants, fmt):
+    k = 31
+    ref, query = _pair(12_000, k, seed=23)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts(fill_gaps=fill_gaps, call_variants=call_variants,
+                 format=fmt)
+    mo.sbwt_build_opts = bo
+    host, dev = _map_both([ref], index, mo)
+    assert host == dev
+
+
+def test_devref_insertion_variants():
+    # insertions in the query relative to ref (ref has extra bases
+    # relative to the indexed query -> deletion side) and the reverse
+    k = 31
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 14_000
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    query = bytearray(ref)
+    # insert 2 bases into the query every ~3000 (ref sees a deletion)
+    for p in range(2500, n - 2500, 3000):
+        query[p:p] = bases[rng.integers(0, 4, 2)].tobytes()
+    index = build([bytes(query)], BuildOpts(k=k, build_select=True))
+    mo = MapOpts()
+    mo.sbwt_build_opts = BuildOpts(k=k, build_select=True)
+    host, dev = _map_both([ref], index, mo)
+    assert host == dev
+
+
+def test_devref_overflow_retry():
+    # dense variant load: more drops than the optimistic capacity so the
+    # DevRefOverflow retry path runs (cap starts at max(256, L/512))
+    k = 31
+    rng = np.random.default_rng(29)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 8192
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    query = bytearray(ref)
+    for p in range(200, n - 200, 40):  # ~200 SNPs > 256? keep density high
+        query[p] = bases[rng.integers(0, 4)]
+    index = build([bytes(query)], BuildOpts(k=k, build_select=True))
+    mo = MapOpts()
+    mo.sbwt_build_opts = BuildOpts(k=k, build_select=True)
+    host, dev = _map_both([ref], index, mo)
+    assert host == dev

@@ -54,7 +54,10 @@ def test_map_steady_state_fetch_budget(fetch_counter):
     total_kb = sum(
         int(np.prod(s)) * np.dtype(d).itemsize for s, d in fetch_counter
     ) / 1e3
-    assert n_fetches <= 4, (
+    # round-3 budget: the on-device refinement (kernels/refine.py)
+    # resolves variants and scores gaps on device, so the steady-state
+    # map pays ONE fetch (delta runs + counters ride together)
+    assert n_fetches <= 1, (
         f"steady-state map_ made {n_fetches} device fetches "
         f"({total_kb:.0f} KB): {fetch_counter}"
     )

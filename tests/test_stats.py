@@ -34,5 +34,8 @@ def test_pipeline_populates_stats():
 
     d = get_stats().as_dict()
     assert d["call_bases"] >= 2000
-    assert d["variants_called"] == len(variants) * 2  # call() ran twice (map too)
-    assert d["call_calls"] == 2
+    # the standalone call() plus map_'s refinement each count the variant;
+    # map_'s on-device resolver (kernels/refine.py) reports via the same
+    # stat without routing through call()
+    assert d["variants_called"] == len(variants) * 2
+    assert d["call_calls"] == 1
