@@ -369,29 +369,50 @@ def _map_batch_sparse(
 
     import jax as _jax
 
-    # The fused 3-bit sweep is the fast path, but its XLA:TPU compile time
-    # explodes superlinearly beyond ~3M positions (>20 min at 4.6M on the
-    # remote compiler vs ~2 min for the classic 2-bit sweep); gate by size
-    # so genome-scale single-shot runs stay on the proven-compile path.
-    # KBO_TPU_MAP_FUSED=1 forces fused, =0 forces classic. Independent of
-    # the compile-time gate, the fused join's packed back-sort payload
-    # hard-requires n_rows + Q*(L+k-1) < 2^24 and k < 128
-    # (kernels.ms.ms3_rows_core) -- such inputs always take the classic
-    # path rather than tripping the kernel's asserts.
+    # The fused 3-bit sweep is the fast path. Its XLA:TPU compile time is
+    # superlinear in dispatch size (round 2 measured >20 min at 4.6M on
+    # the remote compiler vs ~2 min at 2M), and the packed join caps
+    # table_width + probes at 2^24 slots with k < 128
+    # (kernels.ms.ms3_rows_core) -- so beyond the single-shot comfort
+    # zone the sweep runs CHUNKED: fixed-shape sub-dispatches with k-1
+    # context (exact; one compile covers any length). KBO_TPU_MAP_FUSED:
+    # 1 forces single-shot, 0 forces the classic 2-bit sweep, auto picks
+    # single-shot -> chunked -> classic. KBO_TPU_MAP_CHUNK overrides the
+    # chunk size (positions per sub-dispatch).
     fused_env = os.environ.get("KBO_TPU_MAP_FUSED", "auto")
     on_tpu = _jax.devices()[0].platform == "tpu"
     # the join's slot budget counts the DEVICE table width (bucketed, with
     # a sentinel tail -- larger than n_rows), not the logical row count
-    fused_fits = (
-        k < 128
-        and int(dev.keys3.shape[1]) + Q * (L + k - 1) < (1 << 24) - 1
+    slot_budget = (1 << 24) - 1 - int(dev.keys3.shape[1])
+    full_fits = k < 128 and Q * (L + k - 1) < slot_budget
+    max_chunk = slot_budget // max(Q, 1) - (k - 1)
+    chunk = 0
+    if k < 128 and mesh is None and fused_env != "0":
+        chunk_env = int(os.environ.get("KBO_TPU_MAP_CHUNK", "0"))
+        if chunk_env > 0:
+            chunk = min(chunk_env, max_chunk)
+        elif (on_tpu and L > 3_000_000) or not full_fits:
+            # stay at the compile-proven dispatch size on TPU; off-TPU
+            # chunking only kicks in when the slot budget forces it
+            chunk = min(2_000_000, max_chunk)
+    use_chunked = (
+        mesh is None
+        and fused_env != "0"
+        and 0 < chunk < L
+        and chunk >= 4 * k
+        and (not full_fits or (on_tpu and L > 3_000_000) or
+             int(os.environ.get("KBO_TPU_MAP_CHUNK", "0")) > 0)
     )
     use_fused = (
         mesh is None
-        and fused_fits
         and (
-            fused_env == "1"
-            or (fused_env == "auto" and not (on_tpu and L > 3_000_000))
+            (full_fits and fused_env == "1")
+            or (
+                full_fits
+                and fused_env == "auto"
+                and not (on_tpu and L > 3_000_000)
+            )
+            or use_chunked
         )
     )
 
@@ -461,9 +482,16 @@ def _map_batch_sparse(
             # the join stage is cap-independent: the capacity-overflow
             # retry below reuses its device outputs and re-runs only the
             # postprocess stage
-            ms_dev, uniq_dev, rows_dev = ms3_rows_sweep(
-                dev.keys3, dev.lcs3, codes_dev, k
-            )
+            if use_chunked:
+                from kbo_tpu.kernels.mapsweep import ms3_rows_sweep_chunked
+
+                ms_dev, uniq_dev, rows_dev = ms3_rows_sweep_chunked(
+                    dev.keys3, dev.lcs3, codes_dev, k, chunk
+                )
+            else:
+                ms_dev, uniq_dev, rows_dev = ms3_rows_sweep(
+                    dev.keys3, dev.lcs3, codes_dev, k
+                )
 
             def run_post(cap_d, cap_g):
                 return map_postprocess3(

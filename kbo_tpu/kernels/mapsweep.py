@@ -205,6 +205,64 @@ def ms3_rows_sweep(keys3, lcs3, codes, k: int):
     return ms, uniq, rows
 
 
+def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int):
+    """Sequence-chunked stage 1: the same (ms, uniq, row) outputs from
+    fixed-shape sub-dispatches of ``chunk`` positions each.
+
+    Window position p depends only on codes[p-k+1 .. p], so feeding each
+    chunk the previous chunk's last k-1 codes as context makes the split
+    EXACT (SURVEY 5 long-context plan). Every chunk reuses ONE compiled
+    program (identical shapes; the first chunk's context is INVALID pad,
+    exactly the unchunked buffer head), which caps XLA:TPU compile time
+    at the chunk size instead of the genome size and keeps the packed
+    join under its 2^24-slot budget for arbitrarily long references.
+    Runtime trades table-side merge traffic: each sub-dispatch re-scans
+    the n-row key table, so chunks should stay as large as the slot
+    budget allows.
+    """
+    Q, L = codes.shape
+    n_chunks = (L + chunk - 1) // chunk
+    Lp = n_chunks * chunk
+    if Lp != L:
+        codes = jnp.pad(
+            codes, ((0, 0), (0, Lp - L)), constant_values=INVALID
+        )
+    parts = []
+    for c in range(n_chunks):
+        lo = c * chunk
+        if c == 0:
+            ctx = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+        else:
+            ctx = codes[:, lo - (k - 1) : lo]
+        parts.append(
+            _ms3_rows_chunk(
+                keys3, lcs3,
+                jnp.concatenate([ctx, codes[:, lo : lo + chunk]], axis=1),
+                k,
+            )
+        )
+    ms = jnp.concatenate([p[0] for p in parts], axis=1)[:, :L]
+    uniq = jnp.concatenate([p[1] for p in parts], axis=1)[:, :L]
+    rows = jnp.concatenate([p[2] for p in parts], axis=1)[:, :L]
+    return ms, uniq, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int):
+    """One fixed-shape chunk of :func:`ms3_rows_sweep_chunked`:
+    ctx_codes = [Q, (k-1) + chunk] (context + chunk positions); returns
+    (ms, uniq, rows) for the chunk positions only."""
+    from kbo_tpu.kernels.ms import ms3_rows_core
+
+    Q, W = ctx_codes.shape
+    buf = ctx_codes.reshape(-1)
+    ms_f, uniq_f, row_f = ms3_rows_core(keys3, lcs3, buf, k)
+    ms = ms_f.reshape(Q, W)[:, k - 1 :]
+    uniq = uniq_f.reshape(Q, W)[:, k - 1 :]
+    rows = row_f.reshape(Q, W)[:, k - 1 :]
+    return ms, uniq, rows
+
+
 def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
                           cap_d: int, cap_g: int):
     """Stage 2 of the fused map sweep: derandomize/translate, candidate

@@ -146,3 +146,24 @@ def test_devref_overflow_retry():
     mo.sbwt_build_opts = BuildOpts(k=k, build_select=True)
     host, dev = _map_both([ref], index, mo)
     assert host == dev
+
+
+def test_chunked_fused_sweep_matches_single_shot():
+    # KBO_TPU_MAP_CHUNK forces fixed-shape sub-dispatches; outputs must
+    # be bit-identical to the single-shot fused sweep (exact k-1 context)
+    k = 31
+    ref, query = _pair(40_000, k, seed=41)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    env = os.environ
+    env["KBO_TPU_MAP_FUSED"] = "1"
+    try:
+        single = api.map_batch([ref], index, mo)
+        env["KBO_TPU_MAP_CHUNK"] = "8192"
+        chunked = api.map_batch([ref], index, mo)
+    finally:
+        env.pop("KBO_TPU_MAP_CHUNK", None)
+        env.pop("KBO_TPU_MAP_FUSED", None)
+    assert single == chunked
