@@ -471,6 +471,160 @@ def lcs3_from_keys3(keys3, k: int):
 _lcs3_jit = jax.jit(lcs3_from_keys3, static_argnames=("k",))
 
 
+def _rows_scan_pieces(keys3, lcs3, buf, k: int):
+    """Shared merge + scans of the rows join: per merged slot, the
+    directional clamped LCPs, the nearest-left row index, and the
+    adjacent-row LCS values at the prospective block edges.
+
+    The adjacent-row LCS pair rides the merge in the reference slots'
+    otherwise-constant high payload bits (k < 128 so each value fits 7
+    bits): down = lcs3[row] (common suffix with the row below), up =
+    lcs3[row + 1] (with the row above; 0 past the table). Carrying them
+    through the sort replaces a merged-order gather from the lcs3 table
+    -- the suspected XLA:TPU compile-time bomb at genome scale. The
+    nearest-source carry scans resolve a missing side to 0 = "no row
+    beyond the table edge" (matching a gather formulation's out-of-table
+    clamp); left/right-best themselves imply a source row exists.
+    """
+    W = keys3.shape[0]
+    n = keys3.shape[1]
+    T = buf.shape[0]
+    assert n + T < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    assert k < 128, "ms rides 7 bits of the back-sort payload"
+    q_words = pack_windows_3bit(buf, k)
+    meta = jnp.arange(T, dtype=jnp.int32)
+    ref_words = [keys3[w] for w in range(W)]
+    ref_cap = jnp.full((n,), jnp.int32(min(k, 254)))
+    lcs_up = jnp.concatenate([lcs3[1:], jnp.zeros((1,), lcs3.dtype)])
+    ref_hi24 = (
+        lcs3.astype(jnp.uint32) | (lcs_up.astype(jnp.uint32) << 7)
+    )
+    sw, spacked, f, b = _merge_scan(
+        ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
+    )
+    is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
+    # nearest reference row on each side (colex index = rank among rows);
+    # with uniform caps the nearest row attains the best lcp, so the side
+    # with the strictly larger lcp holds the matched block's edge row
+    xl = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
+    down_slot = jnp.where(
+        is_ref, ((spacked >> 8) & jnp.uint32(0x7F)).astype(jnp.int32), -1
+    )
+    up_slot = jnp.where(
+        is_ref, ((spacked >> 15) & jnp.uint32(0x7F)).astype(jnp.int32), -1
+    )
+    near_down = jnp.maximum(_carry_nearest(down_slot, reverse=False), 0)
+    near_up = jnp.maximum(_carry_nearest(up_slot, reverse=True), 0)
+    return sw, spacked, is_ref, f, b, xl, near_down, near_up
+
+
+def ms3_rows_partial_core(keys3, lcs_down, lcs_up_next, row_offset, buf,
+                          k: int):
+    """Per-shard HALF of the rows join for prefix-sharded index placement.
+
+    ``keys3``/``lcs_down``/``lcs_up_next`` cover a contiguous colex row
+    range starting at global row ``row_offset`` (lcs values are GLOBAL:
+    lcs_down[i] = lcs3[row_offset + i], lcs_up_next[i] =
+    lcs3[row_offset + i + 1], 0 past the table). Returns two int64
+    packed reductions per buffer position:
+
+        fpack = (f+1) << 32 | global_x << 8 | down     (0 = no left row)
+        bpack = (b+1) << 32 | (2^24-1 - global_x) << 8 | up
+
+    An elementwise max across shards yields the GLOBAL nearest-side
+    data: lcp first, then the tie-break picks the row closest to the
+    query's true insertion point (largest x on the left side, smallest
+    on the right -- a block spanning a shard boundary makes two shards
+    report equal lcp). :func:`ms3_rows_from_packed` finishes the
+    combine. Exactness argument: per shard, f/b are the clamped LCPs of
+    the shard-local nearest rows; the global nearest row on each side
+    lives in exactly one shard, attains the global max lcp on that side,
+    and ties resolve toward it by construction.
+    """
+    W = keys3.shape[0]
+    n = keys3.shape[1]
+    T = buf.shape[0]
+    assert n + T < (1 << 24) - 1, "packed path requires < 16.7M slots"
+    assert k < 128
+    q_words = pack_windows_3bit(buf, k)
+    meta = jnp.arange(T, dtype=jnp.int32)
+    ref_words = [keys3[w] for w in range(W)]
+    ref_cap = jnp.full((n,), jnp.int32(min(k, 254)))
+    ref_hi24 = (
+        lcs_down.astype(jnp.uint32)
+        | (lcs_up_next.astype(jnp.uint32) << 7)
+    )
+    sw, spacked, f, b = _merge_scan(
+        ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
+    )
+    is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
+    xl = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
+    down_slot = jnp.where(
+        is_ref, ((spacked >> 8) & jnp.uint32(0x7F)).astype(jnp.int32), -1
+    )
+    up_slot = jnp.where(
+        is_ref, ((spacked >> 15) & jnp.uint32(0x7F)).astype(jnp.int32), -1
+    )
+    near_down = jnp.maximum(_carry_nearest(down_slot, reverse=False), 0)
+    near_up = jnp.maximum(_carry_nearest(up_slot, reverse=True), 0)
+
+    gx_l = (xl + row_offset).astype(jnp.int64)
+    gx_r = (xl + 1 + row_offset).astype(jnp.int64)
+    fpack = jnp.where(
+        f >= 0,
+        ((f.astype(jnp.int64) + 1) << 32)
+        | (jnp.clip(gx_l, 0, (1 << 24) - 1) << 8)
+        | near_down.astype(jnp.int64),
+        jnp.int64(0),
+    )
+    bpack = jnp.where(
+        b >= 0,
+        ((b.astype(jnp.int64) + 1) << 32)
+        | (((1 << 24) - 1 - jnp.clip(gx_r, 0, (1 << 24) - 1)) << 8)
+        | near_up.astype(jnp.int64),
+        jnp.int64(0),
+    )
+    # back-sort both packs to buffer order (refs sort last)
+    M = sw[0].shape[0]
+    sort_key = jnp.where(
+        is_ref, jnp.int32(M), (spacked >> 8).astype(jnp.int32)
+    )
+    back = jax.lax.sort(
+        (sort_key, fpack, bpack), num_keys=1, is_stable=False
+    )
+    return back[1][:T], back[2][:T]
+
+
+def ms3_rows_from_packed(fpack, bpack, n_rows, k: int):
+    """Finish the sharded rows join: elementwise-max-reduced packs ->
+    (ms, uniq, row) with the same semantics as :func:`ms3_rows_core`."""
+    kk = jnp.int32(k)
+    gf = (fpack >> 32).astype(jnp.int32) - 1
+    xf = ((fpack >> 8) & ((1 << 24) - 1)).astype(jnp.int32)
+    downf = (fpack & 0xFF).astype(jnp.int32)
+    gb = (bpack >> 32).astype(jnp.int32) - 1
+    xr = (
+        jnp.int32((1 << 24) - 1)
+        - ((bpack >> 8) & ((1 << 24) - 1)).astype(jnp.int32)
+    )
+    upr = (bpack & 0xFF).astype(jnp.int32)
+    f = jnp.minimum(gf, kk)
+    b = jnp.minimum(gb, kk)
+    ms = jnp.maximum(jnp.maximum(f, b), 0)
+    left_best = f > b
+    right_best = b > f
+    x = jnp.where(left_best, xf, xr)
+    lcsv = jnp.where(left_best, downf, jnp.where(right_best, upr, 0))
+    uniq = (
+        (ms > 0)
+        & (left_best | right_best)
+        & (lcsv < ms)
+        & (x >= 0)
+        & (x < n_rows)
+    )
+    return ms, uniq, x
+
+
 def ms3_rows_core(keys3, lcs3, buf, k: int):
     """(ms, uniq, row) for EVERY buffer position via ONE 3-bit join.
 
@@ -486,57 +640,19 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     colex row of the unique match, valid where uniq). Differential
     reference: engine.compute_ms_intervals_at (floor/ceil counting).
     """
-    W = keys3.shape[0]
+    sw, spacked, is_ref, f, b, xl, near_down, near_up = _rows_scan_pieces(
+        keys3, lcs3, buf, k
+    )
     n = keys3.shape[1]
     T = buf.shape[0]
-    assert n + T < (1 << 24) - 1, "packed path requires < 16.7M slots"
-    assert k < 128, "ms rides 7 bits of the back-sort payload"
-    q_words = pack_windows_3bit(buf, k)
-    meta = jnp.arange(T, dtype=jnp.int32)
-    ref_words = [keys3[w] for w in range(W)]
-    ref_cap = jnp.full((n,), jnp.int32(min(k, 254)))
-    # the adjacent-row LCS pair rides the merge in the reference slots'
-    # otherwise-constant high payload bits (k < 128 so each value fits 7
-    # bits): down = lcs3[row] (common suffix with the row below), up =
-    # lcs3[row + 1] (with the row above; 0 past the table). Carrying them
-    # through the sort replaces a [M]-sized gather from the lcs3 table --
-    # the suspected XLA:TPU compile-time bomb at genome scale.
-    lcs_up = jnp.concatenate([lcs3[1:], jnp.zeros((1,), lcs3.dtype)])
-    ref_hi24 = (
-        lcs3.astype(jnp.uint32) | (lcs_up.astype(jnp.uint32) << 7)
-    )
-    sw, spacked, f, b = _merge_scan(
-        ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
-    )
     M = sw[0].shape[0]
-    is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
     kk = jnp.int32(k)
     f = jnp.minimum(f, kk)
     b = jnp.minimum(b, kk)
     ms_slot = jnp.maximum(jnp.maximum(f, b), 0)
-
-    # nearest reference row on each side (colex index = rank among rows);
-    # with uniform caps the nearest row attains the best lcp, so the side
-    # with the strictly larger lcp holds the matched block's edge row
-    xl = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
     left_best = f > b
     right_best = b > f
     x = jnp.where(left_best, xl, xl + 1)
-    # block extends past x iff the adjacent-row LCS at the far side >= ms:
-    # left case needs lcs3[x] = down[x] of the nearest-left row; right case
-    # lcs3[x + 1] = up[x] of the nearest-right row. Both come from nearest-
-    # source carry scans over the merged payload (no gather); a slot with
-    # no source on that side resolves to 0 = "no row beyond the table edge"
-    # (matching the gather formulation's out-of-table clamp). left_best/
-    # right_best themselves imply a source row exists on that side.
-    down_slot = jnp.where(
-        is_ref, ((spacked >> 8) & jnp.uint32(0x7F)).astype(jnp.int32), -1
-    )
-    up_slot = jnp.where(
-        is_ref, ((spacked >> 15) & jnp.uint32(0x7F)).astype(jnp.int32), -1
-    )
-    near_down = jnp.maximum(_carry_nearest(down_slot, reverse=False), 0)
-    near_up = jnp.maximum(_carry_nearest(up_slot, reverse=True), 0)
     lcsv = jnp.where(left_best, near_down, near_up)
     uniq_slot = (
         (ms_slot > 0)

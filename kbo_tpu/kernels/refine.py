@@ -107,22 +107,41 @@ def seq_keys3_tagged_core(codes, k: int):
 seq_keys3_tagged = jax.jit(seq_keys3_tagged_core, static_argnames=("k",))
 
 
-def unpack_rows3(keys3, rows, k: int):
+def unpack_rows3(keys3, rows, k: int, axis: str | None = None):
     """[S] colex rows -> [S, k] chunk codes (0='$', 1..4=ACGT).
 
     The colex key table IS the packed k-mer text (build pad chunk 0 ==
     '$'), so extraction is a W-word gather + shifts -- no host text, no
     select walk (the device answer to access_kmer, reference sbwt crate
     via src/variant_calling.rs:276).
+
+    With ``axis`` (inside a shard_map over a prefix-sharded table),
+    ``keys3`` is this shard's contiguous colex range and ``rows`` are
+    GLOBAL indices: each shard contributes its in-range rows (zeros
+    elsewhere; '$' chunks never collide because exactly one shard owns
+    each row) and a psum assembles the full result.
     """
     W = keys3.shape[0]
-    r = jnp.maximum(rows, 0)
+    if axis is not None:
+        m = keys3.shape[1]
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(m)
+        local = rows - offset
+        in_range = (local >= 0) & (local < m)
+        r = jnp.clip(local, 0, m - 1)
+    else:
+        in_range = None
+        r = jnp.maximum(rows, 0)
     cols = []
     for i in range(k):
         t = k - 1 - i  # distance of char i from the window end
         w, j = divmod(t, 10)
         cols.append(((keys3[w][r] >> jnp.uint32(27 - 3 * j)) & jnp.uint32(7)))
-    return jnp.stack(cols, axis=1).astype(jnp.uint8)
+    out = jnp.stack(cols, axis=1)
+    if axis is not None:
+        out = jax.lax.psum(
+            jnp.where(in_range[:, None], out, jnp.uint32(0)), axis
+        )
+    return out.astype(jnp.uint8)
 
 
 def _pack_codes_matrix(cm, k: int):
@@ -144,13 +163,15 @@ def _pack_codes_matrix(cm, k: int):
     return words
 
 
-def _member_rows_device(keys3, probe_words):
+def _member_rows_device(keys3, probe_words, axis: str | None = None):
     """Membership of full-length probes in the colex row set: a vectorized
     binary search (rows are distinct length-k strings, so membership is
     equality at the lower bound). Sentinel tail rows (0xFFFFFFFF) sort
     after every probe and never match. Runs inside jit: ~log2(n) gather
     steps of W words each -- the device twin of the host
-    gap_filling._member_rows binary search."""
+    gap_filling._member_rows binary search. With ``axis``, each shard
+    searches its own colex range and membership is the OR across shards
+    (at most one shard owns the row)."""
     W = keys3.shape[0]
     n = keys3.shape[1]
     N = probe_words[0].shape[0]
@@ -177,10 +198,14 @@ def _member_rows_device(keys3, probe_words):
     eq = jnp.ones(N, dtype=bool)
     for w in range(W):
         eq = eq & (keys3[w][at] == probe_words[w])
-    return found & eq
+    member = found & eq
+    if axis is not None:
+        member = jax.lax.psum(member.astype(jnp.int32), axis) > 0
+    return member
 
 
-def left_extend_device(keys3, kmers, budgets, k: int):
+def left_extend_device(keys3, kmers, budgets, k: int,
+                       axis: str | None = None):
     """Batched left extension on device (reference: src/gap_filling.rs:
     205-232, mirroring refine.gap_filling._left_extend_batch): per round,
     prepend each of the four bases to the lane's current (k-1)-prefix and
@@ -213,7 +238,7 @@ def left_extend_device(keys3, kmers, budgets, k: int):
             )
         cm = jnp.concatenate(cms, axis=0)  # [4E, k]
         member = _member_rows_device(
-            keys3, _pack_codes_matrix(cm, k)
+            keys3, _pack_codes_matrix(cm, k), axis
         ).reshape(4, E)
         n_hits = jnp.sum(member.astype(jnp.int32), axis=0)
         choice = jnp.argmax(member, axis=0).astype(jnp.int32)
@@ -283,6 +308,7 @@ def resolve_variants_core(
     d,
     k: int,
     cap_d: int,
+    axis: str | None = None,
 ):
     """Variant patches for every anchored MS drop, fully on device.
 
@@ -331,7 +357,7 @@ def resolve_variants_core(
     ).astype(jnp.int32)
 
     # reference k-mer from the colex key table
-    rk = unpack_rows3(keys3, ar, k)  # [S, k] chunks
+    rk = unpack_rows3(keys3, ar, k, axis)  # [S, k] chunks
     ra = _CHUNK_ASCII[rk]
 
     # ms of the reference k-mer vs THE SEQUENCE (tagged join; the probe
@@ -424,6 +450,7 @@ def score_gaps_core(
     k: int,
     cap_ge: int,
     cap_ext: int,
+    axis: str | None = None,
 ):
     """Gap-fill candidate scoring + first-success commit on device.
 
@@ -465,7 +492,7 @@ def score_gaps_core(
     cand = real[:, None] & (cgrid >= 0) & (jpos <= hi[:, None])
 
     rows = jnp.maximum(cgrid, 0).reshape(-1)
-    km = unpack_rows3(keys3, rows, k).reshape(G, k + 1, k)  # chunks
+    km = unpack_rows3(keys3, rows, k, axis).reshape(G, k + 1, k)  # chunks
     ka = _CHUNK_ASCII[km]
 
     # phase C: overlap run lengths in RAW ASCII space
@@ -516,7 +543,7 @@ def score_gaps_core(
     lane_g = fci // jnp.int32(k + 1)
     lane_km = km.reshape(GC, k)[fci]
     lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
-    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k)
+    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k, axis)
     # leading match of the extended string vs ref from the gap's left
     # flank (host: _score_candidates phase D)
     i2k = jnp.arange(2 * k, dtype=jnp.int32)
@@ -637,8 +664,8 @@ def score_gaps_core(
 
 
 resolve_variants = jax.jit(
-    resolve_variants_core, static_argnames=("k", "cap_d")
+    resolve_variants_core, static_argnames=("k", "cap_d", "axis")
 )
 score_gaps = jax.jit(
-    score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext")
+    score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext", "axis")
 )

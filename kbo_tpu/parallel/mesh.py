@@ -361,3 +361,221 @@ def ms_values_many_sharded(
     )
     ms = np.asarray(ms[:, k - 1 :], dtype=np.int64)
     return [ms[i, : c.size] for i, c in enumerate(code_list)]
+
+
+# --------------------------- prefix-sharded index placement: the 3-bit path
+
+
+class Sharded3Index:
+    """The 3-bit join tables of an index, prefix-sharded over a ``model``
+    mesh axis (SURVEY §2.3 row 2's larger-than-HBM placement, extended to
+    the map/call path): each device holds a contiguous colex row range of
+    ``keys3`` plus the GLOBAL adjacent-row LCS values for its rows, so no
+    device ever materializes the full table. The full devref map pipeline
+    runs against it (kernels/refine.py collectives: packed-pmax rows join,
+    psum row unpacking, OR-reduced membership probes).
+    """
+
+    def __init__(self, index: SbwtIndex, mesh: Mesh):
+        assert "model" in mesh.axis_names, "expects a 'model' mesh axis"
+        assert index.keys3 is not None, "index built without join keys"
+        n_dev = mesh.devices.size
+        keys3 = np.ascontiguousarray(index.keys3)
+        W, n = keys3.shape
+        m = ((n + n_dev - 1) // n_dev) * n_dev
+        if m != n:
+            keys3 = np.pad(
+                keys3, ((0, 0), (0, m - n)), constant_values=0xFFFFFFFF
+            )
+        lcs = np.asarray(index.lcs, dtype=np.uint32)[:n]
+        down = np.zeros(m, dtype=np.uint32)
+        down[:n] = lcs
+        up = np.zeros(m, dtype=np.uint32)
+        up[: n - 1] = lcs[1:]
+        self.keys3 = put_global(mesh, P(None, "model"), keys3)
+        self.down = put_global(mesh, P("model"), down)
+        self.up = put_global(mesh, P("model"), up)
+        self.n_rows = int(index.n_rows)
+        self.k = int(index.k)
+        self.model_mesh = mesh
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_rows_join(keys3, down, up, codes, k: int, mesh):
+    from kbo_tpu.kernels.ms import (
+        ms3_rows_from_packed,
+        ms3_rows_partial_core,
+    )
+
+    def shardfn(k3, dn, upv, co):
+        Q, L = co.shape
+        pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+        buf = jnp.concatenate([pad, co], axis=1).reshape(-1)
+        m = k3.shape[1]
+        offset = jax.lax.axis_index("model").astype(jnp.int32) * jnp.int32(m)
+        fp, bp = ms3_rows_partial_core(k3, dn, upv, offset, buf, k)
+        return jax.lax.pmax(fp, "model"), jax.lax.pmax(bp, "model")
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(P(None, "model"), P("model"), P("model"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(keys3, down, up, codes)
+
+
+def ms3_rows_sweep_index_sharded(sidx: Sharded3Index, codes, mesh: Mesh):
+    """(ms, uniq, rows) for a [Q, L] batch against the SHARDED key table:
+    per-shard packed halves reduced with one pmax pair, finished
+    replicated. Bit-identical to kernels.mapsweep.ms3_rows_sweep."""
+    from kbo_tpu.kernels.ms import ms3_rows_from_packed
+
+    k = sidx.k
+    Q, L = codes.shape
+    fp, bp = _sharded_rows_join(
+        sidx.keys3, sidx.down, sidx.up, jnp.asarray(codes), k, mesh
+    )
+    ms, uniq, rows = ms3_rows_from_packed(fp, bp, jnp.int32(sidx.n_rows), k)
+    stride = L + k - 1
+    return (
+        ms.reshape(Q, stride)[:, k - 1 :],
+        uniq.reshape(Q, stride)[:, k - 1 :],
+        rows.reshape(Q, stride)[:, k - 1 :],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap_d", "mesh")
+)
+def sharded_resolve_variants(
+    keys3, seq_words, codes, ref_mat, ms, lengths, drop_pos, apos, arow,
+    d, k: int, cap_d: int, mesh,
+):
+    """kernels.refine.resolve_variants with the key table prefix-sharded:
+    the reference-k-mer unpack contributes per shard and psums; the
+    rk-vs-sequence join replicates (it joins against the SEQUENCE keys,
+    not the index)."""
+    from kbo_tpu.kernels.refine import resolve_variants_core
+
+    def shardfn(k3, sw, co, rm, m_, le, dp, ap, ar, dd):
+        return resolve_variants_core(
+            k3, sw, co, rm, m_, le, dp, ap, ar, dd, k, cap_d, axis="model"
+        )
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(
+            P(None, "model"), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(
+        keys3, seq_words, codes, ref_mat, ms, lengths, drop_pos, apos,
+        arow, d,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap_ge", "cap_ext", "mesh")
+)
+def sharded_score_gaps(
+    keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
+    k: int, cap_ge: int, cap_ext: int, mesh,
+):
+    """kernels.refine.score_gaps with the key table prefix-sharded: the
+    candidate k-mer unpack psums per-shard contributions and the left
+    extension's membership binary searches OR-reduce across shards."""
+    from kbo_tpu.kernels.refine import score_gaps_core
+
+    def shardfn(k3, rm, le, gs, ge, gr, th):
+        return score_gaps_core(
+            k3, rm, le, gs, ge, gr, th, k, cap_ge, cap_ext, axis="model"
+        )
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(P(None, "model"), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold)
+
+
+def map_batch_index_sharded(
+    ref_seqs: list[bytes],
+    query_sbwt: SbwtIndex,
+    map_opts=None,
+    mesh: Mesh | None = None,
+) -> list[bytes]:
+    """Batched ``map_`` with the 3-bit index tables PREFIX-SHARDED over a
+    ``model`` mesh (the larger-than-HBM placement for the map/call path;
+    `find` has :func:`matches_batch_index_sharded`). Runs the same
+    single-fetch devref pipeline as the replicated path -- stage-1 join
+    via packed pmax halves, refinement via the shard_map collectives --
+    and is pinned bit-identical to it (tests/test_index_sharded_map.py).
+    """
+    import os
+
+    from kbo_tpu.kernels.mapsweep import map_postprocess3
+    from kbo_tpu.kernels.refine import max_tag
+    from kbo_tpu.ops import derandomize
+    from kbo_tpu.opts import MapOpts
+    from kbo_tpu.refine.device_map import DevRefOverflow, map_devref_finish
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.utils.stats import stage
+
+    opts = map_opts or MapOpts()
+    if not ref_seqs:
+        return []
+    mesh = mesh or make_mesh(axis="model")
+    k = query_sbwt.k
+    if opts.call_variants:
+        assert k == opts.sbwt_build_opts.k
+        assert not opts.sbwt_build_opts.add_revcomp, (
+            "the sharded devref path carries the forward text only"
+        )
+    threshold = derandomize.random_match_threshold(
+        k, query_sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    sidx = Sharded3Index(query_sbwt, mesh)
+    code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
+    codes, lengths = pad_batch(code_list, bucket=True)
+    Q, L = codes.shape
+    assert Q <= max_tag(k), (
+        f"{Q} contigs exceed the {max_tag(k)}-contig tag capacity at k={k}"
+    )
+    assert Q * L < 2**31
+
+    def _pow2_cap(n, lo=256):
+        c = lo
+        while c < n:
+            c <<= 1
+        return c
+
+    with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        codes_dev = put_global(mesh, P(), codes)
+        lengths_dev = put_global(mesh, P(), lengths)
+        ms_dev, uniq_dev, rows_dev = ms3_rows_sweep_index_sharded(
+            sidx, codes_dev, mesh
+        )
+        cap_d = cap_g = _pow2_cap(L // 512)
+        while True:
+            chars_dev, packed_dev, pieces = map_postprocess3(
+                ms_dev, uniq_dev, rows_dev, lengths_dev, k,
+                jnp.int32(threshold), cap_d, cap_g,
+            )
+            try:
+                return map_devref_finish(
+                    sidx, codes_dev, lengths_dev, ms_dev, chars_dev,
+                    pieces, packed_dev, ref_seqs, query_sbwt, code_list,
+                    opts, threshold, cap_d, cap_g,
+                    total_gap_slack=cap_g * 2 + 64,
+                )
+            except DevRefOverflow as o:
+                cap_d = _pow2_cap(o.need_d)
+                cap_g = _pow2_cap(o.need_g)

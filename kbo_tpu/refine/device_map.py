@@ -91,38 +91,62 @@ def map_devref_finish(
     n_var_dev = jnp.int32(0)
     gap_counters_dev = jnp.zeros(3, jnp.int32)
     needs_host_dev = None
+    # prefix-sharded index placement: a Sharded3Index carries its mesh and
+    # the refine kernels run inside shard_map with the table's collectives
+    # (parallel/mesh.py); everything else is identical
+    model_mesh = getattr(dev, "model_mesh", None)
     cap_ge = cap_g  # device gap scoring covers every compacted slot
     if opts.fill_gaps:
-        gpos, gpv, needs_host_dev, gap_counters_dev = score_gaps(
-            dev.keys3,
-            ref_mat_dev,
-            lengths_dev,
-            pieces["gap_start"],
-            pieces["gap_end_at"],
-            pieces["grid"],
-            jnp.int32(threshold),
-            k=k,
-            cap_ge=cap_ge,
-            cap_ext=cap_g,
-        )
+        if model_mesh is not None:
+            from kbo_tpu.parallel.mesh import sharded_score_gaps
+
+            gpos, gpv, needs_host_dev, gap_counters_dev = sharded_score_gaps(
+                dev.keys3, ref_mat_dev, lengths_dev,
+                pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
+                jnp.int32(threshold), k=k, cap_ge=cap_ge, cap_ext=cap_g,
+                mesh=model_mesh,
+            )
+        else:
+            gpos, gpv, needs_host_dev, gap_counters_dev = score_gaps(
+                dev.keys3,
+                ref_mat_dev,
+                lengths_dev,
+                pieces["gap_start"],
+                pieces["gap_end_at"],
+                pieces["grid"],
+                jnp.int32(threshold),
+                k=k,
+                cap_ge=cap_ge,
+                cap_ext=cap_g,
+            )
         pos_grids.append(gpos)
         pv_grids.append(gpv)
     if opts.call_variants:
         seq_words = seq_keys3_tagged(codes_dev, k=k)
-        vpos, vpv, n_var_dev = resolve_variants(
-            dev.keys3,
-            seq_words,
-            codes_dev,
-            ref_mat_dev,
-            ms_dev,
-            lengths_dev,
-            pieces["drop_pos"],
-            pieces["apos"],
-            pieces["arow"],
-            jnp.int32(threshold),
-            k=k,
-            cap_d=cap_d,
-        )
+        if model_mesh is not None:
+            from kbo_tpu.parallel.mesh import sharded_resolve_variants
+
+            vpos, vpv, n_var_dev = sharded_resolve_variants(
+                dev.keys3, seq_words, codes_dev, ref_mat_dev, ms_dev,
+                lengths_dev, pieces["drop_pos"], pieces["apos"],
+                pieces["arow"], jnp.int32(threshold), k=k, cap_d=cap_d,
+                mesh=model_mesh,
+            )
+        else:
+            vpos, vpv, n_var_dev = resolve_variants(
+                dev.keys3,
+                seq_words,
+                codes_dev,
+                ref_mat_dev,
+                ms_dev,
+                lengths_dev,
+                pieces["drop_pos"],
+                pieces["apos"],
+                pieces["arow"],
+                jnp.int32(threshold),
+                k=k,
+                cap_d=cap_d,
+            )
         pos_grids.append(vpos)
         pv_grids.append(vpv)
 
@@ -174,11 +198,11 @@ def map_devref_finish(
 
     host_fallback_gaps = opts.fill_gaps and (n_need_host > 0 or max_g > cap_ge)
     if host_fallback_gaps:
-        # rare path: some gaps need the exact host evaluator (left
-        # extension in play, or more runs than the device scoring slots).
+        # rare path: some gaps exceeded the device extension budgets.
         # Fetch the packed candidate block + flags, score those gaps on
-        # host, re-assemble with the extra patches, re-fetch.
-        from kbo_tpu import engine
+        # host FROM THE DEVICE GRID (no interval probes: candidate rows
+        # are already resolved; the host extension walks the host index's
+        # own keys), re-assemble with the extra patches, re-fetch.
         from kbo_tpu.refine import gap_filling
 
         need = (
@@ -189,6 +213,7 @@ def map_devref_finish(
         block = np.asarray(packed_dev)
         bcounts = block[:, :2]
         packed = block[:, 2:]
+        grid_off = 3 * cap_d + 2 * cap_g
         extra_pos: list[np.ndarray] = []
         extra_pv: list[np.ndarray] = []
         extra_unfilled = 0
@@ -207,13 +232,11 @@ def map_devref_finish(
             starts = packed[q, cap_d : cap_d + ng]
             ends = packed[q, cap_d + cap_g : cap_d + cap_g + ng]
             runs = [(int(starts[j]), int(ends[j])) for j in sel]
-            ivals = engine.SparseIntervals(
-                query_sbwt, code_list[q], ms=ms_dev[q],
-                dev_codes=codes_dev[q],
-            )
+            grid_all = packed[q, grid_off : grid_off + cap_g * (k + 1)]
+            grid_sel = grid_all.reshape(cap_g, k + 1)[sel]
             gp = gap_filling.fill_gaps_patches(
-                runs, ivals, ref_seq, query_sbwt, threshold,
-                opts.max_error_prob,
+                runs, None, ref_seq, query_sbwt, threshold,
+                opts.max_error_prob, grid=grid_sel,
             )
             clamped = sum(
                 max(0, min(e, len(ref_seq) - threshold) - s)

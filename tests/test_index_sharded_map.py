@@ -1,0 +1,96 @@
+"""Prefix-sharded 3-bit index placement for the map/call path
+(parallel/mesh.py Sharded3Index + shard_map collectives): outputs must be
+bit-identical to the replicated single-device devref path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from kbo_tpu import BuildOpts, MapOpts, build
+from kbo_tpu import api
+from kbo_tpu.parallel.mesh import (
+    Sharded3Index,
+    make_mesh,
+    map_batch_index_sharded,
+    ms3_rows_sweep_index_sharded,
+)
+
+
+def _pair(n, k, seed=3):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, n)].tobytes()
+    query = bytearray(ref)
+    for p in range(500, n - 500, 900):
+        query[p] = bases[rng.integers(0, 4)]
+    del query[n // 2 : n // 2 + 3]
+    return ref, bytes(query)
+
+
+def test_sharded_rows_join_matches_replicated():
+    import jax.numpy as jnp
+
+    from kbo_tpu.engine import device_index
+    from kbo_tpu.kernels.mapsweep import ms3_rows_sweep
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.pipeline import pad_batch
+
+    k = 31
+    ref, query = _pair(20_000, k)
+    index = build([query], BuildOpts(k=k, build_select=True))
+    codes, _ = pad_batch([encode_ascii(ref)], bucket=True)
+
+    dev = device_index(index)
+    ms_r, uniq_r, rows_r = ms3_rows_sweep(
+        dev.keys3, dev.lcs3, jnp.asarray(codes), k
+    )
+
+    mesh = make_mesh(axis="model")
+    sidx = Sharded3Index(index, mesh)
+    ms_s, uniq_s, rows_s = ms3_rows_sweep_index_sharded(sidx, codes, mesh)
+
+    assert np.array_equal(np.asarray(ms_r), np.asarray(ms_s))
+    assert np.array_equal(np.asarray(uniq_r), np.asarray(uniq_s))
+    # rows only meaningful where uniq
+    u = np.asarray(uniq_r)
+    assert np.array_equal(np.asarray(rows_r)[u], np.asarray(rows_s)[u])
+
+
+@pytest.mark.parametrize("n_contigs", [1, 3])
+def test_sharded_map_matches_replicated(n_contigs):
+    k = 31
+    genome, query = _pair(24_000, k, seed=9)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    if n_contigs == 1:
+        refs = [genome]
+    else:
+        refs = [genome[:8000], genome[8000:15000], genome[15000:]]
+
+    os.environ["KBO_TPU_MAP_FUSED"] = "1"
+    try:
+        replicated = api.map_batch(list(refs), index, mo)
+    finally:
+        os.environ.pop("KBO_TPU_MAP_FUSED", None)
+
+    mesh = make_mesh(axis="model")
+    sharded = map_batch_index_sharded(list(refs), index, mo, mesh)
+    assert replicated == sharded
+
+
+def test_sharded_map_memory_footprint():
+    # each device holds 1/n of the key table (the placement's point)
+    k = 31
+    _, query = _pair(16_000, k, seed=13)
+    index = build([query], BuildOpts(k=k, build_select=True))
+    mesh = make_mesh(axis="model")
+    sidx = Sharded3Index(index, mesh)
+    n_dev = mesh.devices.size
+    shard_cols = sidx.keys3.sharding.shard_shape(sidx.keys3.shape)[1]
+    total_cols = sidx.keys3.shape[1]
+    assert shard_cols * n_dev == total_cols
+    assert shard_cols < total_cols
