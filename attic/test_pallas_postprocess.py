@@ -1,11 +1,17 @@
-"""Pallas derandomize+translate kernels vs the jnp cores (interpret mode)."""
+"""Pallas derandomize+translate kernels vs the jnp cores (interpret mode).
+
+ATTIC: run manually with `python -m pytest attic/ -q` from the repo root.
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(__file__))  # attic is standalone
+
 
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
 
-from kbo_tpu.kernels.pallas_postprocess import BLOCK, fused_postprocess_core
+from pallas_postprocess import BLOCK, fused_postprocess_core
 from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
 
 

@@ -251,9 +251,14 @@ class SparseIntervals:
         self._ms = ms
         self._dev_codes = dev_codes
         # sorted-array cache (dict-of-int caching cost ~seconds at 10^5
-        # refinement probes): _pos sorted positions, _val [n, 3] = (l, r, ms)
+        # refinement probes): _pos sorted positions, _val [n, 3] = (l, r, ms).
+        # Miss batches accumulate as extra sorted blocks and merge into the
+        # main arrays only when the block list grows -- np.insert per
+        # prefetch was an O(cache) copy each round, quadratic over the
+        # anchor search's up-to-k/8 rounds per contig (VERDICT r2 weak #7)
         self._pos = np.zeros(0, dtype=np.int64)
         self._val = np.zeros((0, 3), dtype=np.int64)
+        self._blocks: list[tuple[np.ndarray, np.ndarray]] = []
         # host-oracle results are computed full-length whatever the probe
         # count; cache the one pass so repeated prefetch misses (gap
         # filler + anchor rounds) never re-run it
@@ -262,14 +267,36 @@ class SparseIntervals:
     def __len__(self) -> int:
         return self._codes.size
 
+    def _have(self, positions) -> np.ndarray:
+        """Boolean mask of positions already cached (main array or blocks)."""
+        have = np.zeros(positions.size, dtype=bool)
+        for pos_arr in [self._pos] + [p for p, _ in self._blocks]:
+            if not pos_arr.size:
+                continue
+            loc = np.minimum(
+                np.searchsorted(pos_arr, positions), pos_arr.size - 1
+            )
+            have |= pos_arr[loc] == positions
+        return have
+
+    def _consolidate(self) -> None:
+        if not self._blocks:
+            return
+        parts_p = [self._pos] + [p for p, _ in self._blocks]
+        parts_v = [self._val] + [v for _, v in self._blocks]
+        pos = np.concatenate(parts_p)
+        val = np.concatenate(parts_v, axis=0)
+        order = np.argsort(pos, kind="stable")
+        self._pos = pos[order]
+        self._val = val[order]
+        self._blocks = []
+
     def prefetch(self, positions) -> None:
         positions = np.unique(np.atleast_1d(
             np.asarray(positions, dtype=np.int64)
         ))
-        if self._pos.size:
-            loc = np.searchsorted(self._pos, positions)
-            loc_c = np.minimum(loc, self._pos.size - 1)
-            positions = positions[self._pos[loc_c] != positions]
+        if positions.size:
+            positions = positions[~self._have(positions)]
         if positions.size == 0:
             return
         import jax as _jax
@@ -301,39 +328,48 @@ class SparseIntervals:
             [iv, np.asarray(ms_at, dtype=np.int64)[:, None]], axis=1
         )
         if self._pos.size:
-            ins = np.searchsorted(self._pos, positions)
-            self._pos = np.insert(self._pos, ins, positions)
-            self._val = np.insert(self._val, ins, new_val, axis=0)
+            self._blocks.append((positions, new_val))
+            if len(self._blocks) > 8:
+                self._consolidate()
         else:
             self._pos = positions
             self._val = new_val
 
-    def _lookup(self, positions) -> np.ndarray:
-        loc = np.searchsorted(self._pos, positions)
-        if positions.size and (
-            loc.max(initial=0) >= self._pos.size
-            or not np.array_equal(self._pos[loc], positions)
-        ):
+    def _gather(self, positions) -> np.ndarray:
+        """[P, 3] cached (l, r, ms) rows across the main array + blocks."""
+        out = np.empty((positions.size, 3), dtype=np.int64)
+        found = np.zeros(positions.size, dtype=bool)
+        for pos_arr, val_arr in [(self._pos, self._val)] + self._blocks:
+            if not pos_arr.size:
+                continue
+            loc = np.minimum(
+                np.searchsorted(pos_arr, positions), pos_arr.size - 1
+            )
+            hit = (pos_arr[loc] == positions) & ~found
+            if hit.any():
+                out[hit] = val_arr[loc[hit]]
+                found |= hit
+        if positions.size and not found.all():
             raise KeyError("interval positions were not prefetched")
-        return loc
+        return out
 
     def __getitem__(self, key):
         pos, col = key
-        loc = self._lookup(np.asarray([pos], dtype=np.int64))
-        return int(self._val[loc[0], int(col)])
+        row = self._gather(np.asarray([pos], dtype=np.int64))
+        return int(row[0, int(col)])
 
     def get_batch(self, positions) -> np.ndarray:
         """[P, 2] interval array for `positions` (prefetching the misses)."""
         positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
         self.prefetch(positions)
-        return self._val[self._lookup(positions), :2]
+        return self._gather(positions)[:, :2]
 
     def get_ms_batch(self, positions) -> np.ndarray:
         """MS values at `positions` (prefetching the misses) -- lets the
         refinement layers read sparse MS without a full-vector download."""
         positions = np.atleast_1d(np.asarray(positions, dtype=np.int64))
         self.prefetch(positions)
-        return self._val[self._lookup(positions), 2]
+        return self._gather(positions)[:, 2]
 
 
 def compute_ms_values_vs_seq(

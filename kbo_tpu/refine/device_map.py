@@ -96,6 +96,12 @@ def map_devref_finish(
     # (parallel/mesh.py); everything else is identical
     model_mesh = getattr(dev, "model_mesh", None)
     cap_ge = cap_g  # device gap scoring covers every compacted slot
+    # extension lanes scale with the TOTAL gap count across contigs: in
+    # the k < 2*threshold+1 regime every gap fill needs extension and a
+    # gap can own up to ~(k-2t) case_b candidates. An overflow flags the
+    # owning gaps to the host evaluator, so undersizing costs round
+    # trips, not correctness.
+    cap_ext = _pow2_cap(max(cap_g, 32 * Q), lo=256)
     if opts.fill_gaps:
         if model_mesh is not None:
             from kbo_tpu.parallel.mesh import sharded_score_gaps
@@ -103,7 +109,7 @@ def map_devref_finish(
             gpos, gpv, needs_host_dev, gap_counters_dev = sharded_score_gaps(
                 dev.keys3, ref_mat_dev, lengths_dev,
                 pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
-                jnp.int32(threshold), k=k, cap_ge=cap_ge, cap_ext=cap_g,
+                jnp.int32(threshold), k=k, cap_ge=cap_ge, cap_ext=cap_ext,
                 mesh=model_mesh,
             )
         else:
@@ -117,7 +123,7 @@ def map_devref_finish(
                 jnp.int32(threshold),
                 k=k,
                 cap_ge=cap_ge,
-                cap_ext=cap_g,
+                cap_ext=cap_ext,
             )
         pos_grids.append(gpos)
         pv_grids.append(gpv)

@@ -32,6 +32,30 @@ except ImportError:  # pragma: no cover
 import pytest
 
 
+@pytest.fixture()
+def fetch_counter(monkeypatch):
+    """Record every device->host materialization (np.asarray/np.array of a
+    jax.Array): through the relay each fetch is a ~30ms round trip, so the
+    COUNT is the perf contract the budget tests pin."""
+    import jax
+    import numpy as np
+
+    fetches = []
+    orig_asarray, orig_array = np.asarray, np.array
+
+    def wrap(fn):
+        def inner(obj, *a, **k):
+            if isinstance(obj, jax.Array):
+                fetches.append((tuple(obj.shape), str(obj.dtype)))
+            return fn(obj, *a, **k)
+
+        return inner
+
+    monkeypatch.setattr(np, "asarray", wrap(orig_asarray))
+    monkeypatch.setattr(np, "array", wrap(orig_array))
+    return fetches
+
+
 @pytest.fixture(autouse=True)
 def _bound_xla_memory_maps():
     """Keep the process under the kernel's vm.max_map_count (65530 default).

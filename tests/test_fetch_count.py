@@ -15,22 +15,8 @@ import jax
 from kbo_tpu import BuildOpts, MapOpts, build, map_
 
 
-@pytest.fixture()
-def fetch_counter(monkeypatch):
-    fetches = []
-    orig_asarray, orig_array = np.asarray, np.array
-
-    def wrap(fn):
-        def inner(obj, *a, **k):
-            if isinstance(obj, jax.Array):
-                fetches.append((tuple(obj.shape), str(obj.dtype)))
-            return fn(obj, *a, **k)
-
-        return inner
-
-    monkeypatch.setattr(np, "asarray", wrap(orig_asarray))
-    monkeypatch.setattr(np, "array", wrap(orig_array))
-    return fetches
+# the fetch_counter fixture lives in conftest.py (shared with the
+# refinement stress tests)
 
 
 def test_map_steady_state_fetch_budget(fetch_counter):
