@@ -70,9 +70,11 @@ def main():
             }
             env["JAX_PLATFORMS"] = "cpu"
             env["KBO_BENCH_NO_PROBE"] = "1"
-            # CPU reps are ~1min each at 4.6M; best-of-2 keeps the
-            # fallback inside driver timeouts
+            # CPU fallback: best-of-2 at 2M (XLA:CPU sorts are
+            # single-threaded; a 4.6M rep with the on-device refinement
+            # takes minutes and the number is labeled cpu either way)
             env.setdefault("KBO_BENCH_REPS", "2")
+            env.setdefault("KBO_BENCH_GENOME", "2e6")
             os.execve(sys.executable, [sys.executable, __file__], env)
         raise SystemExit("no usable JAX device")
     n = int(float(os.environ.get("KBO_BENCH_GENOME", 4_600_000)))
