@@ -416,6 +416,31 @@ def _map_batch_sparse(
         )
     )
 
+    if (
+        mesh is not None
+        and "data" in mesh.axis_names
+        and os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
+        and not (opts.call_variants and opts.sbwt_build_opts.add_revcomp)
+        and k < 128
+    ):
+        from kbo_tpu.kernels.refine import max_tag
+        from kbo_tpu.refine.device_map import map_devref_data_sharded
+
+        q_per = (Q + mesh.devices.size - 1) // mesh.devices.size
+        table_w = int(dev.keys3.shape[1])
+        if (
+            q_per <= max_tag(k)
+            and table_w + q_per * (L + k - 1) < (1 << 24) - 1
+        ):
+            with stage("map_sweep", bases=sum(c.size for c in code_list)):
+                out = map_devref_data_sharded(
+                    ref_seqs, query_sbwt, code_list, opts, threshold, mesh
+                )
+            if out is not None:
+                return out
+            # extension-budget gaps or persistent overflow: degrade to
+            # the classic mesh sweep + host refinement below
+
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
         # optimistic capacities: only a denser-than-1-per-512-bases input
         # pays a second exactly-sized pass

@@ -301,3 +301,279 @@ def map_devref_finish(
         e_local = min(e - q * L, len(out[q]))
         out[q][s_local:e_local] = bytes([v]) * (e_local - s_local)
     return [bytes(b) for b in out]
+
+
+# ---------------------------------------- data-parallel (contig-sharded)
+
+
+def devref_core(
+    keys3, codes, ref_mat, lengths, ms, uniq, rows, threshold,
+    k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
+    do_gaps: bool, do_vars: bool, fmt: bool,
+):
+    """The whole post-sweep refinement as ONE pure function over a [Q, L]
+    contig block: postprocess -> variant resolution -> gap scoring ->
+    priority assembly -> packed delta emission. Shard-mapped over a
+    ``data`` mesh this makes the mesh map path refinement-free on the
+    host (round-2's aggregate-scaling blocker was the per-contig host
+    refinement loop); every stage is contig-local, so contig sharding is
+    exact. Returns (delta4 [4, cap_r], needs_host [Q*cap_g] bool).
+
+    Single-device callers keep the multi-dispatch orchestration in
+    :func:`map_devref_finish` instead (XLA:TPU compile time is
+    superlinear in program size; per-shard blocks here are 1/n-sized).
+    """
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.mapsweep import (
+        assemble_map_prio_core,
+        map_postprocess3_core,
+    )
+    from kbo_tpu.kernels.refine import (
+        resolve_variants_core,
+        score_gaps_core,
+        seq_keys3_tagged_core,
+    )
+
+    chars, _packed, pieces = map_postprocess3_core(
+        ms, uniq, rows, lengths, k, threshold, cap_d, cap_g
+    )
+    Q, L = codes.shape
+    pos_grids, pv_grids = [], []
+    n_var = jnp.int32(0)
+    gap_counters = jnp.zeros(3, jnp.int32)
+    needs_host = jnp.zeros(Q * cap_g, dtype=bool)
+    if do_gaps:
+        gpos, gpv, needs_host, gap_counters = score_gaps_core(
+            keys3, ref_mat, lengths, pieces["gap_start"],
+            pieces["gap_end_at"], pieces["grid"], threshold,
+            k, cap_g, cap_ext,
+        )
+        pos_grids.append(gpos)
+        pv_grids.append(gpv)
+    if do_vars:
+        seq_words = seq_keys3_tagged_core(codes, k)
+        vpos, vpv, n_var = resolve_variants_core(
+            keys3, seq_words, codes, ref_mat, ms, lengths,
+            pieces["drop_pos"], pieces["apos"], pieces["arow"],
+            threshold, k, cap_d,
+        )
+        pos_grids.append(vpos)
+        pv_grids.append(vpv)
+    counts2, rs, re, rv = assemble_map_prio_core(
+        chars, ref_mat, lengths, pos_grids, pv_grids, fmt
+    )
+    counts = pieces["counts"]
+    extras = jnp.concatenate(
+        [
+            jnp.max(counts[:, 0])[None],
+            jnp.max(counts[:, 1])[None],
+            jnp.sum(needs_host.astype(jnp.int32))[None],
+            gap_counters,
+            n_var[None],
+            jnp.sum(pieces["clamped_gap"]).astype(jnp.int32)[None],
+        ]
+    )
+    n_extra = extras.shape[0]
+    crow = (
+        jnp.zeros(cap_r, jnp.int32)
+        .at[:2]
+        .set(counts2.astype(jnp.int32))
+        .at[2 : 2 + n_extra]
+        .set(extras.astype(jnp.int32))
+    )
+
+    def fit(row):
+        row = row[:cap_r].astype(jnp.int32)
+        if row.shape[0] < cap_r:
+            row = jnp.pad(row, (0, cap_r - row.shape[0]))
+        return row
+
+    delta4 = jnp.stack([fit(rs), fit(re), fit(rv), crow])
+    return delta4, needs_host
+
+
+def _data_stage1_impl(k3, l3, co, kk: int, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from kbo_tpu.kernels.ms import INVALID, ms3_rows_core
+
+    def shardfn(k3s, l3s, cos):
+        Qs, Ls = cos.shape
+        pad = jnp.full((Qs, kk - 1), INVALID, jnp.uint8)
+        buf = jnp.concatenate([pad, cos], axis=1).reshape(-1)
+        stride = Ls + kk - 1
+        m, u, r = ms3_rows_core(k3s, l3s, buf, kk)
+        return (
+            m.reshape(Qs, stride)[:, kk - 1 :],
+            u.reshape(Qs, stride)[:, kk - 1 :],
+            r.reshape(Qs, stride)[:, kk - 1 :],
+        )
+
+    fn = jax.shard_map(
+        shardfn, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return fn(k3, l3, co)
+
+
+def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, kk: int, cd: int,
+                      cg: int, ce: int, cr: int, dg: bool, dv: bool,
+                      fm: bool, mesh):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda k3s, cos, rms, les, ms_, us, rs_, ths: devref_core(
+            k3s, cos, rms, les, ms_, us, rs_, ths,
+            kk, cd, cg, ce, cr, dg, dv, fm,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P("data"), P("data"), P("data"),
+            P("data"), P("data"), P("data"), P(),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return fn(k3, co, rm, le, m_, u_, r_, th)
+
+
+_data_stage1 = None
+_data_stage2 = None
+
+
+def _get_data_stages():
+    global _data_stage1, _data_stage2
+    if _data_stage1 is None:
+        import functools
+
+        import jax
+
+        _data_stage1 = jax.jit(
+            _data_stage1_impl, static_argnames=("kk", "mesh")
+        )
+        _data_stage2 = jax.jit(
+            _data_stage2_impl,
+            static_argnames=(
+                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "mesh"
+            ),
+        )
+    return _data_stage1, _data_stage2
+
+
+def map_devref_data_sharded(
+    ref_seqs, query_sbwt, code_list, opts, threshold: int, mesh
+):
+    """Contig-sharded single-fetch map over a ``data`` mesh: the sweep AND
+    the refinement run per shard on device; the host pays one gather of
+    the per-shard delta blocks. Edge cases (candidate capacity overflow
+    beyond the retry, extension-budget gaps) return None and the caller
+    degrades to the classic mesh path -- correctness never depends on
+    this fast path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kbo_tpu import engine
+    from kbo_tpu.kernels.ms import INVALID
+    from kbo_tpu.pipeline import pad_batch
+
+    k = query_sbwt.k
+    dev = engine.device_index(query_sbwt)
+    codes, lengths = pad_batch(code_list, bucket=True)
+    nd = mesh.devices.size
+    Q0 = codes.shape[0]
+    Qp = ((Q0 + nd - 1) // nd) * nd
+    if Qp != Q0:
+        codes = np.pad(
+            codes, ((0, Qp - Q0), (0, 0)), constant_values=INVALID
+        )
+        lengths = np.pad(lengths, (0, Qp - Q0))
+    Q, L = codes.shape
+    ref_mat = np.zeros((Q, L), dtype=np.uint8)
+    for q, r in enumerate(ref_seqs):
+        ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    keys3 = jax.device_put(dev.keys3, repl)
+    lcs3 = jax.device_put(dev.lcs3, repl)
+    codes_d = jax.device_put(jnp.asarray(codes), shard)
+    ref_d = jax.device_put(jnp.asarray(ref_mat), shard)
+    len_d = jax.device_put(jnp.asarray(lengths), shard)
+
+    _stage1, _stage2 = _get_data_stages()
+    ms_d, uniq_d, rows_d = _stage1(keys3, lcs3, codes_d, kk=k, mesh=mesh)
+
+    cap_d = cap_g = _pow2_cap(L // 512)
+    q_per = Q // nd
+    for _attempt in range(3):
+        cap_ext = _pow2_cap(max(cap_g, 32 * q_per), lo=256)
+        cap_r = _pow2_cap(int(q_per * (L // 512) + cap_g * 2 + 256))
+
+        # per-shard delta blocks stack on a leading shard axis
+        delta4, needs_host = _stage2(
+            keys3, codes_d, ref_d, len_d, ms_d, uniq_d, rows_d,
+            jnp.int32(threshold), kk=k, cd=cap_d, cg=cap_g, ce=cap_ext,
+            cr=cap_r, dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
+            fm=bool(opts.format), mesh=mesh,
+        )
+        blocks = np.asarray(delta4).reshape(nd, 4, cap_r)
+        max_d = int(blocks[:, 3, 2].max())
+        max_g = int(blocks[:, 3, 3].max())
+        need_host = int(blocks[:, 3, 4].sum())
+        if max_d > cap_d or max_g > cap_g:
+            cap_d = _pow2_cap(max_d)
+            cap_g = _pow2_cap(max_g)
+            continue
+        if need_host > 0:
+            return None  # degrade to the classic mesh path
+        overflow = False
+        for s in range(nd):
+            if int(blocks[s, 3, 0]) > cap_r:
+                overflow = True
+        if overflow:
+            return None
+        break
+    else:
+        return None
+
+    stats = get_stats()
+    if opts.fill_gaps:
+        stats.add("gaps_seen", int(blocks[:, 3, 5].sum()))
+        stats.add("gaps_filled", int(blocks[:, 3, 6].sum()))
+        stats.add("gap_bases_unfilled", int(blocks[:, 3, 7].sum()))
+    else:
+        stats.add("gap_bases_unfilled", int(blocks[:, 3, 9].sum()))
+    if opts.call_variants:
+        stats.add("variants_called", int(blocks[:, 3, 8].sum()))
+
+    out: list[bytearray] = []
+    for ref_seq in ref_seqs:
+        n = len(ref_seq)
+        if opts.format:
+            out.append(bytearray(bytes(ref_seq)))
+        else:
+            out.append(bytearray(b"M" * n))
+    for s in range(nd):
+        n_runs = int(blocks[s, 3, 0])
+        for j in range(n_runs):
+            gpos = int(blocks[s, 0, j])
+            gend = int(blocks[s, 1, j])
+            v = int(blocks[s, 2, j])
+            q_local = gpos // L
+            q = s * q_per + q_local
+            if q >= len(out):
+                continue  # padding rows
+            s_local = gpos - q_local * L
+            # runs never cross contig rows (assemble breaks at row edges)
+            e_local = min(gend - q_local * L, len(out[q]))
+            out[q][s_local:e_local] = bytes([v]) * (e_local - s_local)
+    return [bytes(b) for b in out]

@@ -55,3 +55,46 @@ def test_call_sharded_parity(built):
         (v.query_pos, v.query_chars, v.ref_chars) for v in single
     ]
     assert len(single) > 0
+
+
+def test_mesh_map_devref_fast_path_engages_and_matches():
+    # the contig-sharded single-fetch path must (a) actually run (not
+    # silently degrade to the classic mesh sweep) and (b) match the
+    # single-device output bit-exactly
+    import numpy as np
+
+    from kbo_tpu import BuildOpts, MapOpts, build
+    from kbo_tpu import api
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.parallel.mesh import make_mesh
+    from kbo_tpu.refine.device_map import map_devref_data_sharded
+    from kbo_tpu.ops.derandomize import random_match_threshold
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n, k = 40_000, 31
+    genome = bases[rng.integers(0, 4, n)].tobytes()
+    query = bytearray(genome)
+    for p in range(400, n - 400, 1100):
+        query[p] = bases[rng.integers(0, 4)]
+    del query[20_000:20_003]
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([bytes(query)], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    refs = [genome[i * 5000 : (i + 1) * 5000] for i in range(8)]
+
+    single = api.map_batch(list(refs), index, mo)
+
+    mesh = make_mesh()
+    threshold = random_match_threshold(k, index.n_kmers, 4, mo.max_error_prob)
+    code_list = [encode_ascii(r) for r in refs]
+    fast = map_devref_data_sharded(
+        list(refs), index, code_list, mo, threshold, mesh
+    )
+    assert fast is not None, "data-sharded devref degraded unexpectedly"
+    assert fast == single
+
+    # and through the public entry point
+    via_api = api.map_batch(list(refs), index, mo, mesh=mesh)
+    assert via_api == single
