@@ -442,9 +442,16 @@ def _map_batch_sparse(
             # the classic mesh sweep + host refinement below
 
     with stage("map_sweep", bases=sum(c.size for c in code_list)):
-        # optimistic capacities: only a denser-than-1-per-512-bases input
-        # pays a second exactly-sized pass
-        cap_d = cap_g = _pow2_cap(L // 512)
+        # optimistic capacities: only a denser-than-expected input pays a
+        # second exactly-sized pass. Drops (SNP sites) run ~1/kb on
+        # same-species pairs; gap runs (indels / low-identity stretches)
+        # are 10-100x rarer AND 10-100x more expensive per slot to score
+        # (score_gaps materializes [cap_g, k+1, k] candidate windows +
+        # cap_ext extension lanes), so the gap capacity starts much
+        # smaller -- measured on TPU at 4.6M, cap_g 16384 -> 1024 takes
+        # score_gaps from 1.35 s to ~0.1 s with identical output
+        cap_d = _pow2_cap(L // 512)
+        cap_g = _pow2_cap(L // 8192, lo=256)
         scan_block = None
         if mesh is not None or not use_fused:
             if mesh is not None:
@@ -484,8 +491,8 @@ def _map_batch_sparse(
                 int(counts[:, 0].max()) > cap_d
                 or int(counts[:, 1].max()) > cap_g
             ):
-                cap_d = _pow2_cap(int(counts[:, 0].max()))
-                cap_g = _pow2_cap(int(counts[:, 1].max()))
+                cap_d = max(cap_d, _pow2_cap(int(counts[:, 0].max())))
+                cap_g = max(cap_g, _pow2_cap(int(counts[:, 1].max())))
                 packed = np.asarray(
                     fetch_candidates(counts_dev, drop_pos_dev, gap_start_dev,
                                      gap_end_dev, cap_d, cap_g)
@@ -557,8 +564,10 @@ def _map_batch_sparse(
                             total_gap_slack=cap_g * 2 + 64,
                         )
                     except DevRefOverflow as o:
-                        cap_d = _pow2_cap(o.need_d)
-                        cap_g = _pow2_cap(o.need_g)
+                        # grow only the overflowed capacity (shrinking the
+                        # other would recompile for nothing)
+                        cap_d = max(cap_d, _pow2_cap(o.need_d))
+                        cap_g = max(cap_g, _pow2_cap(o.need_g))
 
             chars_dev, packed_dev, _pieces = run_post(cap_d, cap_g)
             block = np.asarray(packed_dev)
@@ -567,8 +576,8 @@ def _map_batch_sparse(
                 int(counts[:, 0].max()) > cap_d
                 or int(counts[:, 1].max()) > cap_g
             ):
-                cap_d = _pow2_cap(int(counts[:, 0].max()))
-                cap_g = _pow2_cap(int(counts[:, 1].max()))
+                cap_d = max(cap_d, _pow2_cap(int(counts[:, 0].max())))
+                cap_g = max(cap_g, _pow2_cap(int(counts[:, 1].max())))
                 chars_dev, packed_dev, _pieces = run_post(cap_d, cap_g)
                 block = np.asarray(packed_dev)
             packed = block[:, 2 : 2 + cap_d + 2 * cap_g]

@@ -512,7 +512,11 @@ def map_devref_data_sharded(
     _stage1, _stage2 = _get_data_stages()
     ms_d, uniq_d, rows_d = _stage1(keys3, lcs3, codes_d, kk=k, mesh=mesh)
 
-    cap_d = cap_g = _pow2_cap(L // 512)
+    # same capacity asymmetry as the single-device path (api.py): gap
+    # slots are much more expensive to score than drop slots and much
+    # rarer in practice; undersizing pays a retry, never correctness
+    cap_d = _pow2_cap(L // 512)
+    cap_g = _pow2_cap(L // 8192, lo=256)
     q_per = Q // nd
     for _attempt in range(3):
         cap_ext = _pow2_cap(max(cap_g, 32 * q_per), lo=256)
@@ -530,8 +534,8 @@ def map_devref_data_sharded(
         max_g = int(blocks[:, 3, 3].max())
         need_host = int(blocks[:, 3, 4].sum())
         if max_d > cap_d or max_g > cap_g:
-            cap_d = _pow2_cap(max_d)
-            cap_g = _pow2_cap(max_g)
+            cap_d = max(cap_d, _pow2_cap(max_d))
+            cap_g = max(cap_g, _pow2_cap(max_g))
             continue
         if need_host > 0:
             return None  # degrade to the classic mesh path
