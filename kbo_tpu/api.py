@@ -450,8 +450,13 @@ def _map_batch_sparse(
         # cap_ext extension lanes), so the gap capacity starts much
         # smaller -- measured on TPU at 4.6M, cap_g 16384 -> 1024 takes
         # score_gaps from 1.35 s to ~0.1 s with identical output
+        # cap_g covers ~0.65 gap runs/kb with pow2 headroom: measured on
+        # the 1 SNP/kb benchmark, ~77% of SNP sites become 1-base gap
+        # runs after derandomize (3533 runs at 4.6M -> 4096 slots, no
+        # retry), while 1/8192 priors forced a retry and 1/512 paid ~2x
+        # in score_gaps for empty slots
         cap_d = _pow2_cap(L // 512)
-        cap_g = _pow2_cap(L // 8192, lo=256)
+        cap_g = _pow2_cap(L // 1536, lo=256)
         scan_block = None
         if mesh is not None or not use_fused:
             if mesh is not None:
@@ -507,8 +512,32 @@ def _map_batch_sparse(
                 map_postprocess3,
                 ms3_rows_sweep,
             )
+            from kbo_tpu.kernels.refine import max_tag
 
-            codes_dev = jnp.asarray(codes)
+            use_devref = (
+                os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
+                and Q <= max_tag(k)
+                and not (
+                    opts.call_variants and opts.sbwt_build_opts.add_revcomp
+                )
+            )
+            ref_mat = ref_mat_dev = None
+            if use_devref:
+                # ONE upload: the refinement/assembly stages need the raw
+                # reference bytes anyway, so ship those and derive the
+                # sweep codes on device (encode_ascii_device) instead of
+                # uploading a second same-sized array through the relay
+                from kbo_tpu.kernels.mapsweep import encode_ascii_device
+
+                ref_mat = np.zeros((Q, L), dtype=np.uint8)
+                for q, r in enumerate(ref_seqs):
+                    ref_mat[q, : len(r)] = np.frombuffer(
+                        bytes(r), dtype=np.uint8
+                    )
+                ref_mat_dev = jnp.asarray(ref_mat)
+                codes_dev = encode_ascii_device(ref_mat_dev)
+            else:
+                codes_dev = jnp.asarray(codes)
             lengths_dev = jnp.asarray(lengths)
             thr = jnp.int32(threshold)
             # the join stage is cap-independent: the capacity-overflow
@@ -538,15 +567,6 @@ def _map_batch_sparse(
             # join tables carry the forward text only) and contig counts
             # beyond the tag capacity; KBO_TPU_MAP_DEVREF=0 forces the
             # packed-fetch host refinement for differentials.
-            from kbo_tpu.kernels.refine import max_tag
-
-            use_devref = (
-                os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
-                and Q <= max_tag(k)
-                and not (
-                    opts.call_variants and opts.sbwt_build_opts.add_revcomp
-                )
-            )
             if use_devref:
                 from kbo_tpu.refine.device_map import (
                     DevRefOverflow,
@@ -562,6 +582,7 @@ def _map_batch_sparse(
                             query_sbwt, code_list, opts, threshold,
                             cap_d, cap_g,
                             total_gap_slack=cap_g * 2 + 64,
+                            ref_mat=ref_mat, ref_mat_dev=ref_mat_dev,
                         )
                     except DevRefOverflow as o:
                         # grow only the overflowed capacity (shrinking the

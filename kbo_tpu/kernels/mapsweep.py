@@ -46,6 +46,24 @@ _BIG32 = jnp.int32(2**31 - 1)
 _M, _X, _DASH = ord("M"), ord("X"), ord("-")
 
 
+@jax.jit
+def encode_ascii_device(ascii_mat):
+    """Device twin of index.encode.encode_ascii: raw ASCII bytes -> codes
+    (0='$', 1..4=ACGT/acgt, else INVALID), as branch-free selects.
+
+    Lets the map path upload the reference ONCE (the raw bytes, which the
+    refinement and delta assembly need anyway) and derive the sweep codes
+    on device instead of shipping a second same-sized array through the
+    relay. Zero padding encodes to INVALID, matching pipeline.pad_batch.
+    """
+    lower = ascii_mat | jnp.uint8(0x20)
+    code = jnp.full(ascii_mat.shape, INVALID, dtype=jnp.uint8)
+    code = jnp.where(ascii_mat == jnp.uint8(ord("$")), jnp.uint8(0), code)
+    for b, ch in enumerate(b"acgt"):
+        code = jnp.where(lower == jnp.uint8(ch), jnp.uint8(b + 1), code)
+    return code
+
+
 def _compact_row(mask, idx):
     """Ascending positions where mask is set, padded with BIG (full length).
 

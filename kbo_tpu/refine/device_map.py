@@ -45,6 +45,48 @@ def _pow2_cap(n: int, lo: int = 256) -> int:
     return c
 
 
+def _paint_runs(out_flat, starts, ends, vals, L: int, row_lens):
+    """Vectorized delta-run painting onto a padded [Q*L] byte canvas.
+
+    Runs never cross row edges (the device assembler breaks at them);
+    ends are additionally clipped to each row's true length. Replaces
+    the per-run Python loop (3.5k iterations ~ 40 ms at the 4.6M
+    benchmark)."""
+    if starts.size == 0:
+        return
+    q = starts.astype(np.int64) // L
+    row_end = q * L + row_lens[q]
+    e = np.minimum(ends.astype(np.int64), row_end)
+    s = starts.astype(np.int64)
+    ls = np.maximum(e - s, 0)
+    tot = int(ls.sum())
+    if tot == 0:
+        return
+    base = np.repeat(s, ls)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ls) - ls, ls)
+    out_flat[base + offs] = np.repeat(vals.astype(np.uint8), ls)
+
+
+def _canvas(ref_seqs, Q: int, L: int, fmt: bool, ref_mat=None):
+    """Padded [Q*L] output canvas + per-row true lengths: rows start as
+    the raw reference bytes (``format=True``) or 'M' fill."""
+    row_lens = np.zeros(Q, dtype=np.int64)
+    for q, r in enumerate(ref_seqs):
+        row_lens[q] = len(r)
+    if fmt:
+        if ref_mat is not None:
+            canvas = ref_mat.reshape(-1).copy()
+        else:
+            canvas = np.zeros(Q * L, dtype=np.uint8)
+            for q, r in enumerate(ref_seqs):
+                canvas[q * L : q * L + len(r)] = np.frombuffer(
+                    bytes(r), dtype=np.uint8
+                )
+    else:
+        canvas = np.full(Q * L, ord("M"), dtype=np.uint8)
+    return canvas, row_lens
+
+
 def map_devref_finish(
     dev,
     codes_dev,
@@ -61,6 +103,8 @@ def map_devref_finish(
     cap_d: int,
     cap_g: int,
     total_gap_slack: int,
+    ref_mat=None,
+    ref_mat_dev=None,
 ):
     """Run the device refinement + assembly and reconstruct the output.
 
@@ -81,10 +125,12 @@ def map_devref_finish(
 
     k = dev.k
     Q, L = codes_dev.shape
-    ref_mat = np.zeros((Q, L), dtype=np.uint8)
-    for q, r in enumerate(ref_seqs):
-        ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
-    ref_mat_dev = jnp.asarray(ref_mat)
+    if ref_mat is None:
+        ref_mat = np.zeros((Q, L), dtype=np.uint8)
+        for q, r in enumerate(ref_seqs):
+            ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+    if ref_mat_dev is None:
+        ref_mat_dev = jnp.asarray(ref_mat)
 
     pos_grids: list = []
     pv_grids: list = []
@@ -96,12 +142,13 @@ def map_devref_finish(
     # (parallel/mesh.py); everything else is identical
     model_mesh = getattr(dev, "model_mesh", None)
     cap_ge = cap_g  # device gap scoring covers every compacted slot
-    # extension lanes scale with the TOTAL gap count across contigs: in
-    # the k < 2*threshold+1 regime every gap fill needs extension and a
-    # gap can own up to ~(k-2t) case_b candidates. An overflow flags the
-    # owning gaps to the host evaluator, so undersizing costs round
-    # trips, not correctness.
-    cap_ext = _pow2_cap(max(cap_g, 32 * Q), lo=256)
+    # extension lanes scale with the TOTAL gap count across contigs:
+    # measured ~2 case_b lanes per gap on SNP-dense inputs (4x headroom
+    # here), and in the k < 2*threshold+1 regime every gap fill needs
+    # extension with up to ~(k-2t) case_b candidates per gap. An
+    # overflow flags the owning gaps to the host evaluator, so
+    # undersizing costs round trips, not correctness.
+    cap_ext = _pow2_cap(max(4 * cap_g, 32 * Q), lo=256)
     if opts.fill_gaps:
         if model_mesh is not None:
             from kbo_tpu.parallel.mesh import sharded_score_gaps
@@ -287,20 +334,15 @@ def map_devref_finish(
         )
         n_runs = int(delta[3, 0])
 
-    out: list[bytearray] = []
-    for ref_seq in ref_seqs:
-        n = len(ref_seq)
-        if opts.format:
-            out.append(bytearray(bytes(ref_seq)))
-        else:
-            out.append(bytearray(b"M" * n))
-    for j in range(n_runs):
-        s, e, v = int(delta[0, j]), int(delta[1, j]), int(delta[2, j])
-        q = s // L
-        s_local = s - q * L
-        e_local = min(e - q * L, len(out[q]))
-        out[q][s_local:e_local] = bytes([v]) * (e_local - s_local)
-    return [bytes(b) for b in out]
+    canvas, row_lens = _canvas(ref_seqs, Q, L, bool(opts.format), ref_mat)
+    _paint_runs(
+        canvas, delta[0, :n_runs], delta[1, :n_runs], delta[2, :n_runs],
+        L, row_lens,
+    )
+    return [
+        canvas[q * L : q * L + row_lens[q]].tobytes()
+        for q in range(len(ref_seqs))
+    ]
 
 
 # ---------------------------------------- data-parallel (contig-sharded)
@@ -516,10 +558,10 @@ def map_devref_data_sharded(
     # slots are much more expensive to score than drop slots and much
     # rarer in practice; undersizing pays a retry, never correctness
     cap_d = _pow2_cap(L // 512)
-    cap_g = _pow2_cap(L // 8192, lo=256)
+    cap_g = _pow2_cap(L // 1536, lo=256)
     q_per = Q // nd
     for _attempt in range(3):
-        cap_ext = _pow2_cap(max(cap_g, 32 * q_per), lo=256)
+        cap_ext = _pow2_cap(max(4 * cap_g, 32 * q_per), lo=256)
         cap_r = _pow2_cap(int(q_per * (L // 512) + cap_g * 2 + 256))
 
         # per-shard delta blocks stack on a leading shard axis
@@ -559,25 +601,22 @@ def map_devref_data_sharded(
     if opts.call_variants:
         stats.add("variants_called", int(blocks[:, 3, 8].sum()))
 
-    out: list[bytearray] = []
-    for ref_seq in ref_seqs:
-        n = len(ref_seq)
-        if opts.format:
-            out.append(bytearray(bytes(ref_seq)))
-        else:
-            out.append(bytearray(b"M" * n))
+    canvas, row_lens = _canvas(ref_seqs, Q, L, bool(opts.format))
     for s in range(nd):
         n_runs = int(blocks[s, 3, 0])
-        for j in range(n_runs):
-            gpos = int(blocks[s, 0, j])
-            gend = int(blocks[s, 1, j])
-            v = int(blocks[s, 2, j])
-            q_local = gpos // L
-            q = s * q_per + q_local
-            if q >= len(out):
-                continue  # padding rows
-            s_local = gpos - q_local * L
-            # runs never cross contig rows (assemble breaks at row edges)
-            e_local = min(gend - q_local * L, len(out[q]))
-            out[q][s_local:e_local] = bytes([v]) * (e_local - s_local)
-    return [bytes(b) for b in out]
+        # shard s's flat positions are local to its q_per rows; runs
+        # never cross contig rows (assemble breaks at row edges) and
+        # padding rows have row_lens 0, so painting clips them away
+        base = s * q_per * L
+        _paint_runs(
+            canvas,
+            blocks[s, 0, :n_runs] + base,
+            blocks[s, 1, :n_runs] + base,
+            blocks[s, 2, :n_runs],
+            L,
+            row_lens,
+        )
+    return [
+        canvas[q * L : q * L + row_lens[q]].tobytes()
+        for q in range(len(ref_seqs))
+    ]
