@@ -74,6 +74,21 @@ def _compact_row(mask, idx):
     return jax.lax.sort(vals, is_stable=False)
 
 
+def _compact_mask_capped(mask, idx, cap: int):
+    """First `cap` set positions of ``mask`` in ascending order, padded
+    with BIG: exclusive-rank scatter instead of a full-length sort (one
+    cumsum + one scatter; the [Q*L]-wide ``lax.sort`` compactions
+    dominated the postprocess/assemble stages on TPU). Ranks are unique
+    where the mask is set, so the scatter is deterministic; set
+    positions beyond ``cap`` and masked-off lanes land out of range and
+    drop."""
+    m32 = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m32) - m32
+    tgt = jnp.where(mask, rank, jnp.int32(cap))
+    out = jnp.full(cap, _BIG32, jnp.int32)
+    return out.at[tgt].set(idx.astype(jnp.int32), mode="drop")
+
+
 def _next_nondash(is_dash, idx, length):
     """nnd[i] = smallest j > i with NOT is_dash[j], clamped to `length`.
 
@@ -318,7 +333,9 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
     drop_mask = (
         (idx >= 1) & in_len & (ms < prev_ms) & (prev_ms >= t) & (ms < t)
     )
-    drop_pos = jax.vmap(lambda m: _compact_row(m, idx[0]))(drop_mask)
+    drop_pos = jax.vmap(
+        lambda m: _compact_mask_capped(m, idx[0], cap_d)
+    )(drop_mask)
 
     is_dash = (chars == _DASH) & in_len
     is_x = (chars == _X) & in_len
@@ -334,7 +351,9 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         & (idx < hi_t)
         & (is_x | (idx == lo_t) | ~prev_gapc)
     )
-    gap_start = jax.vmap(lambda m: _compact_row(m, idx[0]))(start_mask)
+    gap_start = jax.vmap(
+        lambda m: _compact_mask_capped(m, idx[0], cap_g)
+    )(start_mask)
     nnd = jax.vmap(_next_nondash)(
         is_dash, idx + jnp.zeros((Q, 1), jnp.int32), lengths
     )
@@ -483,8 +502,13 @@ def assemble_map_core(chars, ref_ascii, lengths, patch_pos, patch_val,
     return _emit_deltas(flat, ref_ascii, lengths, fmt)
 
 
-def _emit_deltas(flat, ref_ascii, lengths, fmt: bool):
-    """Shared tail of the assemble kernels: relative_to_ref + delta runs."""
+def _emit_deltas(flat, ref_ascii, lengths, fmt: bool, cap: int | None = None):
+    """Shared tail of the assemble kernels: relative_to_ref + delta runs.
+
+    With ``cap`` the run arrays come back ``cap`` wide via the scatter
+    compaction (no full-length sort and no full-length end/value
+    gathers); the true run count still rides ``counts`` so an
+    undersized cap is detected and the caller re-assembles."""
     Q, L = ref_ascii.shape
     ref_flat = ref_ascii.reshape(-1)
     if fmt:
@@ -510,14 +534,14 @@ def _emit_deltas(flat, ref_ascii, lengths, fmt: bool):
         mask & prev_mask & (out == prev_out) & (idx % L != 0)
     )
     run_start_mask = mask & ~cont
-    run_start = _compact_row(run_start_mask, idx)
+    if cap is None:
+        run_start = _compact_row(run_start_mask, idx)
+    else:
+        run_start = _compact_mask_capped(run_start_mask, idx, cap)
     ncont = _next_nondash(cont, idx, jnp.int32(Q * L))
-    run_end = jnp.take_along_axis(
-        ncont[None, :],
-        jnp.minimum(run_start, jnp.int32(Q * L - 1))[None, :],
-        axis=1,
-    )[0]
-    run_val = out[jnp.minimum(run_start, jnp.int32(Q * L - 1))]
+    at = jnp.minimum(run_start, jnp.int32(Q * L - 1))
+    run_end = ncont[at]
+    run_val = out[at]
     n_runs = jnp.sum(run_start_mask, dtype=jnp.int32)
     checksum = jnp.sum(
         jnp.where(in_len, out, 0).astype(jnp.int32), dtype=jnp.int32
@@ -530,7 +554,8 @@ assemble_map = jax.jit(assemble_map_core, static_argnames=("fmt",))
 
 
 def assemble_map_prio_core(
-    chars, ref_ascii, lengths, pos_grids, prio_val_grids, fmt: bool
+    chars, ref_ascii, lengths, pos_grids, prio_val_grids, fmt: bool,
+    cap: int | None = None,
 ):
     """Priority-ordered patch application + delta emission.
 
@@ -552,10 +577,12 @@ def assemble_map_prio_core(
     flat = jnp.where(
         acc > 0, (acc & 0xFF).astype(jnp.uint8), chars.reshape(-1)
     )
-    return _emit_deltas(flat, ref_ascii, lengths, fmt)
+    return _emit_deltas(flat, ref_ascii, lengths, fmt, cap)
 
 
-assemble_map_prio = jax.jit(assemble_map_prio_core, static_argnames=("fmt",))
+assemble_map_prio = jax.jit(
+    assemble_map_prio_core, static_argnames=("fmt", "cap")
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

@@ -203,9 +203,14 @@ def map_devref_finish(
         pos_grids.append(vpos)
         pv_grids.append(vpv)
 
+    # Optimistic run budget: ~1 delta run per variant site (L/512 slots
+    # cover 1-per-kb densities with margin) + gap-run slack + flanks; an
+    # underestimate pays one exactly-sized re-assembly below. The
+    # assembler emits run arrays already capped (scatter compaction).
+    cap_r = _pow2_cap(int(L // 512 + total_gap_slack + 256))
     counts2_dev, rs_dev, re_dev, rv_dev = assemble_map_prio(
         chars_dev, ref_mat_dev, lengths_dev, pos_grids, pv_grids,
-        bool(opts.format),
+        bool(opts.format), cap_r,
     )
     counts = pieces["counts"]
     extras_dev = jnp.concatenate(
@@ -224,10 +229,6 @@ def map_devref_finish(
     )
 
     # ONE fetch: delta runs + counters + fallback indicators together.
-    # Optimistic run budget: ~1 delta run per variant site (L/512 slots
-    # cover 1-per-kb densities with margin) + gap-run slack + flanks; an
-    # underestimate pays one exactly-sized refetch below.
-    cap_r = _pow2_cap(int(L // 512 + total_gap_slack + 256))
     delta = np.asarray(
         fetch_delta_runs_extras(
             counts2_dev, rs_dev, re_dev, rv_dev, extras_dev, cap_r
@@ -316,7 +317,7 @@ def map_devref_finish(
             pv_grids.append(jnp.asarray(ev_pad))
             counts2_dev, rs_dev, re_dev, rv_dev = assemble_map_prio(
                 chars_dev, ref_mat_dev, lengths_dev, pos_grids, pv_grids,
-                bool(opts.format),
+                bool(opts.format), cap_r,
             )
             delta = np.asarray(
                 fetch_delta_runs_extras(
@@ -326,7 +327,13 @@ def map_devref_finish(
             n_runs = int(delta[3, 0])
 
     if n_runs > cap_r:
+        # run arrays are emitted capped, so an undersized budget re-runs
+        # the (cheap) assembly at the exact size before refetching
         cap_r = _pow2_cap(n_runs)
+        counts2_dev, rs_dev, re_dev, rv_dev = assemble_map_prio(
+            chars_dev, ref_mat_dev, lengths_dev, pos_grids, pv_grids,
+            bool(opts.format), cap_r,
+        )
         delta = np.asarray(
             fetch_delta_runs_extras(
                 counts2_dev, rs_dev, re_dev, rv_dev, extras_dev, cap_r
@@ -403,7 +410,7 @@ def devref_core(
         pos_grids.append(vpos)
         pv_grids.append(vpv)
     counts2, rs, re, rv = assemble_map_prio_core(
-        chars, ref_mat, lengths, pos_grids, pv_grids, fmt
+        chars, ref_mat, lengths, pos_grids, pv_grids, fmt, cap_r
     )
     counts = pieces["counts"]
     extras = jnp.concatenate(
