@@ -392,9 +392,17 @@ def _map_batch_sparse(
         if chunk_env > 0:
             chunk = min(chunk_env, max_chunk)
         elif (on_tpu and L > 3_000_000) or not full_fits:
-            # stay at the compile-proven dispatch size on TPU; off-TPU
-            # chunking only kicks in when the slot budget forces it
-            chunk = min(2_000_000, max_chunk)
+            # equalized chunks on the 1/8-octave bucket grid: the fewest
+            # sub-dispatches whose fixed shape stays within the
+            # compile-proven size (~2.4M measured on TPU) and the slot
+            # budget. Each chunk re-scans the key table, so fewer+larger
+            # chunks win (3x2M -> 2x2.36M saved ~35 ms at 4.6M); the
+            # bucket grid keeps the set of compiled chunk shapes small.
+            from kbo_tpu.kernels.ms import _bucket as _kbucket
+
+            target = min(2_400_000, max_chunk)
+            n_chunks = max(1, -(-L // target))
+            chunk = min(_kbucket(-(-L // n_chunks)), max_chunk)
     use_chunked = (
         mesh is None
         and fused_env != "0"
