@@ -531,18 +531,35 @@ def _map_batch_sparse(
             )
             ref_mat = ref_mat_dev = None
             if use_devref:
-                # ONE upload: the refinement/assembly stages need the raw
-                # reference bytes anyway, so ship those and derive the
-                # sweep codes on device (encode_ascii_device) instead of
-                # uploading a second same-sized array through the relay
-                from kbo_tpu.kernels.mapsweep import encode_ascii_device
+                # ONE upload, 2-bit packed: the refinement/assembly
+                # stages need the raw reference bytes anyway, so ship a
+                # packed form (4 bases/byte + an exception list for
+                # non-uppercase-ACGT bytes), reconstruct the exact raw
+                # matrix on device, and derive the sweep codes from it
+                # (encode_ascii_device) -- ~1/8 of the naive two-array
+                # upload through the relay. Dense exceptions (soft-
+                # masked genomes) fall back to the raw upload.
+                from kbo_tpu.kernels.mapsweep import (
+                    decode_packed4_device,
+                    encode_ascii_device,
+                    pack_ascii_host,
+                )
 
                 ref_mat = np.zeros((Q, L), dtype=np.uint8)
                 for q, r in enumerate(ref_seqs):
                     ref_mat[q, : len(r)] = np.frombuffer(
                         bytes(r), dtype=np.uint8
                     )
-                ref_mat_dev = jnp.asarray(ref_mat)
+                packed_up = pack_ascii_host(ref_mat, lengths)
+                if packed_up is not None:
+                    ref_mat_dev = decode_packed4_device(
+                        jnp.asarray(packed_up[0]),
+                        jnp.asarray(packed_up[1]),
+                        jnp.asarray(packed_up[2]),
+                        jnp.asarray(lengths),
+                    )
+                else:
+                    ref_mat_dev = jnp.asarray(ref_mat)
                 codes_dev = encode_ascii_device(ref_mat_dev)
             else:
                 codes_dev = jnp.asarray(codes)

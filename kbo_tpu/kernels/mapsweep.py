@@ -46,6 +46,71 @@ _BIG32 = jnp.int32(2**31 - 1)
 _M, _X, _DASH = ord("M"), ord("X"), ord("-")
 
 
+def pack_ascii_host(ref_mat, lengths):
+    """Host side of the packed reference upload: [Q, L] raw ASCII
+    (0-padded rows) -> (packed4 uint8 [Q, L//4], exc_pos int32, exc_byte
+    uint8). ``decode_packed4_device`` reconstructs the exact raw matrix:
+    2 bits per base (A/a C/c G/g T/t -> 0..3) plus a flat-position
+    exception list for every in-length byte that is not uppercase ACGT
+    (N runs, soft-masking, '$', ...). Returns None when L % 4 != 0 or
+    the exceptions exceed L//16 (soft-masked genomes: the packed form
+    would not pay for itself) -- the caller falls back to the raw
+    upload."""
+    import numpy as np
+
+    Q, L = ref_mat.shape
+    if L % 4:
+        return None
+    lut2 = np.zeros(256, dtype=np.uint8)
+    for c2, chars in enumerate((b"Aa", b"Cc", b"Gg", b"Tt")):
+        for ch in chars:
+            lut2[ch] = c2
+    u2 = lut2[ref_mat]
+    packed4 = (
+        u2[:, 0::4]
+        | (u2[:, 1::4] << 2)
+        | (u2[:, 2::4] << 4)
+        | (u2[:, 3::4] << 6)
+    )
+    recon = np.frombuffer(b"ACGT", dtype=np.uint8)[u2]
+    in_len = np.arange(L, dtype=np.int64)[None, :] < np.asarray(lengths)[
+        : Q, None
+    ]
+    exc = (ref_mat != recon) & in_len
+    exc_pos = np.flatnonzero(exc)
+    if exc_pos.size > max(64, Q * L // 16):
+        return None
+    cap_e = 64
+    while cap_e < exc_pos.size:
+        cap_e <<= 1
+    pos_pad = np.full(cap_e, Q * L, dtype=np.int32)
+    byte_pad = np.zeros(cap_e, dtype=np.uint8)
+    pos_pad[: exc_pos.size] = exc_pos
+    byte_pad[: exc_pos.size] = ref_mat.reshape(-1)[exc_pos]
+    return packed4, pos_pad, byte_pad
+
+
+@jax.jit
+def decode_packed4_device(packed4, exc_pos, exc_byte, lengths):
+    """Device side of the packed reference upload: exact raw ASCII [Q, L]
+    from 2-bit packed bases + the exception list (see pack_ascii_host).
+    Padding beyond each row's length decodes to 0, matching the host
+    matrix layout byte for byte."""
+    Q, Lp = packed4.shape
+    L = Lp * 4
+    parts = [
+        ((packed4 >> jnp.uint8(2 * j)) & jnp.uint8(3)) for j in range(4)
+    ]
+    u2 = jnp.stack(parts, axis=-1).reshape(Q, L)
+    out = jnp.uint8(ord("A")) + jnp.zeros((Q, L), jnp.uint8)
+    for c2, ch in enumerate(b"CGT"):
+        out = jnp.where(u2 == jnp.uint8(c2 + 1), jnp.uint8(ch), out)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    out = jnp.where(idx < lengths[:, None], out, jnp.uint8(0))
+    flat = out.reshape(-1).at[exc_pos].set(exc_byte, mode="drop")
+    return flat.reshape(Q, L)
+
+
 @jax.jit
 def encode_ascii_device(ascii_mat):
     """Device twin of index.encode.encode_ascii: raw ASCII bytes -> codes

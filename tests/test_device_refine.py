@@ -167,3 +167,50 @@ def test_chunked_fused_sweep_matches_single_shot():
         env.pop("KBO_TPU_MAP_CHUNK", None)
         env.pop("KBO_TPU_MAP_FUSED", None)
     assert single == chunked
+
+
+def test_packed_reference_upload_roundtrip():
+    # the 2-bit packed upload must reconstruct the raw [Q, L] matrix byte
+    # for byte (exceptions cover every non-uppercase-ACGT in-length byte;
+    # padding decodes to 0), and the device encoder must match the host
+    # LUT over all 256 byte values
+    import jax.numpy as jnp
+
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.kernels.mapsweep import (
+        decode_packed4_device,
+        encode_ascii_device,
+        pack_ascii_host,
+    )
+
+    rng = np.random.default_rng(11)
+    pool = np.frombuffer(b"ACGTacgtN$-", dtype=np.uint8)
+    Q, L = 3, 512
+    lengths = np.array([512, 300, 17], dtype=np.int32)
+    ref = np.zeros((Q, L), np.uint8)
+    for q in range(Q):
+        n = lengths[q]
+        ref[q, :n] = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            rng.integers(0, 4, n)
+        ]
+        odd = rng.integers(0, n, max(1, n // 50))
+        ref[q, odd] = pool[rng.integers(0, len(pool), odd.size)]
+    packed = pack_ascii_host(ref, lengths)
+    assert packed is not None
+    dec = np.asarray(
+        decode_packed4_device(
+            jnp.asarray(packed[0]), jnp.asarray(packed[1]),
+            jnp.asarray(packed[2]), jnp.asarray(lengths),
+        )
+    )
+    assert (dec == ref).all()
+
+    every = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    assert (
+        np.asarray(encode_ascii_device(jnp.asarray(every)))
+        == encode_ascii(every.reshape(-1)).reshape(2, 128)
+    ).all()
+
+    # soft-masked (dense exceptions) falls back
+    soft = np.full((1, 512), ord("a"), np.uint8)
+    assert pack_ascii_host(soft, np.array([512], np.int32)) is None
