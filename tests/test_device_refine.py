@@ -214,3 +214,35 @@ def test_packed_reference_upload_roundtrip():
     # soft-masked (dense exceptions) falls back
     soft = np.full((1, 512), ord("a"), np.uint8)
     assert pack_ascii_host(soft, np.array([512], np.int32)) is None
+
+
+def test_pary_lower_bound_matches_bisect():
+    # the 8-ary device lower bound must be exact across table sizes,
+    # duplicate-pivot spans, below-min and above-max probes
+    import bisect
+
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.refine import _lower_bound_device
+
+    for n in (1, 2, 8, 9, 64, 5003):
+        rng = np.random.default_rng(n)
+        w0 = np.sort(rng.integers(0, 2**30, n).astype(np.uint32))
+        w1 = rng.integers(0, 2**30, n).astype(np.uint32)
+        w1 = w1[np.lexsort((w1, w0))]
+        keys = jnp.asarray(np.stack([w0, w1]))
+        pi = rng.integers(0, n, 64)
+        p0 = np.concatenate(
+            [w0[pi], rng.integers(0, 2**30, 64).astype(np.uint32),
+             np.zeros(2, np.uint32), np.full(2, 2**31, np.uint32)]
+        )
+        p1 = np.concatenate(
+            [w1[pi], rng.integers(0, 2**30, 64).astype(np.uint32),
+             np.zeros(2, np.uint32), np.full(2, 2**31, np.uint32)]
+        )
+        lo = np.asarray(
+            _lower_bound_device(keys, [jnp.asarray(p0), jnp.asarray(p1)])
+        )
+        tab = list(zip(w0.tolist(), w1.tolist()))
+        for i, ab in enumerate(zip(p0.tolist(), p1.tolist())):
+            assert lo[i] == bisect.bisect_left(tab, ab)
