@@ -415,23 +415,26 @@ def resolve_variants_core(
     rk = unpack_rows3(keys3, ar, k, axis)  # [S, k] chunks
     ra = _CHUNK_ASCII[rk]
 
-    # ms of the reference k-mer vs THE SEQUENCE (tagged join; the probe
-    # buffer pads k-1 slots per row, garbage windows sliced off)
+    # ms of the reference k-mer vs THE SEQUENCE (tagged join). The probe
+    # buffer pads k-1 slots per row so every window has full context;
+    # the pad-straddling window keys are garbage, so DROP them before
+    # the join -- the probe side of the sort+merge halves (S*(2k-1) ->
+    # S*k keys) for the same sliced result.
     pad = jnp.full((S, k - 1), INVALID, jnp.uint8)
     pbuf = jnp.concatenate([pad, rk], axis=1).reshape(-1)
-    p_words = pack_windows_3bit(pbuf, k, pad_chunk=7)
+    p_words_all = pack_windows_3bit(pbuf, k, pad_chunk=7)
     stride = 2 * k - 1
-    p_tag = (
-        jnp.arange(pbuf.shape[0], dtype=jnp.int32)
-        // jnp.int32(stride)
-        // jnp.int32(cap_d)
-    )
+    p_words = [
+        w.reshape(S, stride)[:, k - 1 :].reshape(-1) for w in p_words_all
+    ]
+    lane = jnp.arange(S * k, dtype=jnp.int32) // jnp.int32(k)
+    p_tag = lane // jnp.int32(cap_d)
     p_words = _embed_tags(p_words, p_tag)
-    meta = jnp.arange(pbuf.shape[0], dtype=jnp.int32)
+    meta = jnp.arange(S * k, dtype=jnp.int32)
     n_seq = seq_words[0].shape[0]
     cap_seq = jnp.full((n_seq,), kk)
     c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
-    msq = jnp.minimum(c, kk).reshape(S, stride)[:, k - 1 :]
+    msq = jnp.minimum(c, kk).reshape(S, k)
 
     # vectorized resolve_variant (src/variant_calling.rs:139-201)
     eqa = qa == ra
