@@ -462,8 +462,11 @@ def _map_batch_sparse(
         # the 1 SNP/kb benchmark, ~77% of SNP sites become 1-base gap
         # runs after derandomize (3533 runs at 4.6M -> 4096 slots, no
         # retry), while 1/8192 priors forced a retry and 1/512 paid ~2x
-        # in score_gaps for empty slots
-        cap_d = _pow2_cap(L // 512)
+        # in score_gaps for empty slots. Drops run ~0.8/kb on the same
+        # workload, so the 1/1024 prior still carries ~2.3x headroom;
+        # every drop slot costs k - threshold + 1 probe lanes in the
+        # rk-vs-seq join, so halving the slots halves that join
+        cap_d = _pow2_cap(L // 1024)
         cap_g = _pow2_cap(L // 1536, lo=256)
         scan_block = None
         if mesh is not None or not use_fused:

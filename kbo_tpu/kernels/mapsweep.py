@@ -383,6 +383,7 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
     -1; src/gap_filling.rs:127-151, :466-478).
     """
     Q, L = ms.shape
+    assert k < 128, "packed probe word carries ms in 7 bits"
     derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
         ms, lengths
     )
@@ -448,7 +449,16 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         dtype=jnp.int32,
     )
 
-    def refine_one(ms_q, uniq_q, rows_q, dp_row, gs_row, ge_row, n_q):
+    # one packed word per position -- (row 24b | ms 7b | uniq 1b), k < 64
+    # guaranteed upstream -- so the anchor and grid probes below pay ONE
+    # gather per position instead of three
+    packed_pos = (
+        (jnp.clip(rows, 0, None).astype(jnp.uint32) << 8)
+        | (jnp.clip(ms, 0, 127).astype(jnp.uint32) << 1)
+        | uniq.astype(jnp.uint32)
+    )
+
+    def refine_one(pk_q, dp_row, gs_row, ge_row, n_q):
         # variant anchors: first j in (i, i+k] with ms[j] >= t and a
         # unique interval -- now pure gathers from the dense join outputs
         dp = _pad_slots(dp_row, cap_d)
@@ -457,7 +467,12 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         pos_a = jnp.minimum(dp[:, None], jnp.int32(2**30)) + offs_a[None, :]
         valid_a = real_d[:, None] & (pos_a < n_q)
         pa = jnp.clip(pos_a, 0, L - 1)
-        ok = (ms_q[pa] >= t) & uniq_q[pa] & valid_a
+        at = pk_q[pa]
+        ok = (
+            (((at >> 1) & jnp.uint32(0x7F)).astype(jnp.int32) >= t)
+            & (at & 1).astype(bool)
+            & valid_a
+        )
         has = ok.any(axis=1)
         first = jnp.argmax(ok, axis=1)
         apos = jnp.where(
@@ -465,7 +480,9 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         )
         arow = jnp.where(
             has,
-            jnp.take_along_axis(rows_q[pa], first[:, None], 1)[:, 0],
+            jnp.take_along_axis(
+                (at >> 8).astype(jnp.int32), first[:, None], 1
+            )[:, 0],
             -1,
         )
 
@@ -484,11 +501,14 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         pos_g = lo[:, None] + offs_g[None, :]
         valid_g = real_g[:, None] & (pos_g <= hi[:, None]) & (pos_g >= 0)
         pg = jnp.clip(pos_g, 0, L - 1)
-        grid = jnp.where(valid_g & uniq_q[pg], rows_q[pg], -1)
+        gt = pk_q[pg]
+        grid = jnp.where(
+            valid_g & (gt & 1).astype(bool), (gt >> 8).astype(jnp.int32), -1
+        )
         return apos.astype(jnp.int32), arow.astype(jnp.int32), grid
 
     apos, arow, grid = jax.vmap(refine_one)(
-        ms, uniq, rows, drop_pos, gap_start, gap_end_at, lengths
+        packed_pos, drop_pos, gap_start, gap_end_at, lengths
     )
 
     def cols(arr, cap):

@@ -297,6 +297,34 @@ def _use_pallas_merge() -> bool:
         return False
 
 
+def _use_back_scatter() -> bool:
+    """Return results to buffer order with a scatter instead of a sort.
+
+    The merged-order -> query-order step has UNIQUE destinations (each
+    query slot owns one buffer position; reference slots drop), so a
+    single scatter pass replaces a full single-key ``lax.sort`` over the
+    merged width. ``KBO_TPU_BACKSCATTER=0`` keeps the sort (differential
+    testing / fallback)."""
+    import os
+
+    return os.environ.get("KBO_TPU_BACKSCATTER", "1") != "0"
+
+
+def _back_to_order(keys, payloads, size: int, fills):
+    """Scatter payloads to their key positions (keys >= size drop), or the
+    equivalent single-key sort when the scatter path is disabled."""
+    if _use_back_scatter():
+        out = []
+        for p, f in zip(payloads, fills):
+            out.append(
+                jnp.full((size,), f, p.dtype).at[keys].set(p, mode="drop")
+            )
+        return out
+    back = jax.lax.sort(tuple([keys] + list(payloads)), num_keys=1,
+                        is_stable=False)
+    return [b[:size] for b in back[1:]]
+
+
 def _edge_lcp(sw, common_fn, reverse: bool):
     """Adjacent-slot common prefix entering each slot from the scan side."""
     if reverse:
@@ -359,12 +387,23 @@ def _neighbor_best(
         ops = _radix_sort(sw + [cap_all, meta_all], W)
         sw, cap_s, meta_s = ops[:W], ops[W], ops[W + 1]
         c = _clamp_both(sw, cap_s, bits, common_fn)
+        if _use_back_scatter():
+            # ref slots carry meta == _BIG which lands out of range and drops
+            return _back_to_order(
+                jnp.minimum(meta_s, jnp.int32(L)), [c], L, [0]
+            )[0]
         back = jax.lax.sort((meta_s, c), num_keys=1, is_stable=False)
         return back[1][:L]
     sw, spacked, f, b = _merge_scan(
         ref_words, ref_cap, q_words, q_meta, bits, common_fn, ref_sorted
     )
     c = jnp.maximum(jnp.maximum(f, b), 0)
+    if _use_back_scatter():
+        # query slots own unique buffer positions; ref slots' 0xFFFFFF >= L
+        # drops (the slot budget keeps L < 0xFFFFFF)
+        return _back_to_order(
+            (spacked >> 8).astype(jnp.int32), [c], L, [0]
+        )[0]
     out_packed = (spacked & jnp.uint32(0xFFFFFF00)) | jnp.minimum(
         c, 255
     ).astype(jnp.uint32)
@@ -584,15 +623,13 @@ def ms3_rows_partial_core(keys3, lcs_down, lcs_up_next, row_offset, buf,
         | near_up.astype(jnp.int64),
         jnp.int64(0),
     )
-    # back-sort both packs to buffer order (refs sort last)
+    # back to buffer order (refs and merge pads land out of range and drop)
     M = sw[0].shape[0]
     sort_key = jnp.where(
         is_ref, jnp.int32(M), (spacked >> 8).astype(jnp.int32)
     )
-    back = jax.lax.sort(
-        (sort_key, fpack, bpack), num_keys=1, is_stable=False
-    )
-    return back[1][:T], back[2][:T]
+    fb, bb = _back_to_order(sort_key, [fpack, bpack], T, [0, 0])
+    return fb, bb
 
 
 def ms3_rows_from_packed(fpack, bpack, n_rows, k: int):
@@ -662,7 +699,7 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
         & (x < n)
     )
 
-    # back-sort to query order: key = meta (refs sort last), payload packs
+    # back to query order: key = meta (refs/pads drop), payload packs
     # (row 24b | ms 7b | uniq 1b) -- k < 64 so ms fits 7 bits
     sort_key = jnp.where(is_ref, jnp.int32(M), (spacked >> 8).astype(jnp.int32))
     payload = (
@@ -670,8 +707,7 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
         | (ms_slot.astype(jnp.uint32) << 1)
         | uniq_slot.astype(jnp.uint32)
     )
-    back = jax.lax.sort((sort_key, payload), num_keys=1, is_stable=False)
-    out = back[1][:T]
+    out = _back_to_order(sort_key, [payload], T, [0])[0]
     ms = ((out >> 1) & jnp.uint32(0x7F)).astype(jnp.int32)
     uniq = (out & 1).astype(bool)
     row = (out >> 8).astype(jnp.int32)
@@ -727,8 +763,9 @@ def _intervals_from_keys(keys3, q_words, ms):
         smeta = ops[W + 1]
         is_ref = (ops[W] == 1).astype(jnp.int32)
     before = jnp.cumsum(is_ref) - is_ref  # refs strictly before each slot
-    back = jax.lax.sort((smeta, before), num_keys=1, is_stable=False)
-    vals = back[1]
+    vals = _back_to_order(
+        jnp.minimum(smeta, jnp.int32(2 * P)), [before], 2 * P, [0]
+    )[0]
     return vals[:P], vals[P : 2 * P]
 
 

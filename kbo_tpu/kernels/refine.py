@@ -99,7 +99,9 @@ def seq_keys3_tagged_core(codes, k: int):
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
     stride = L + k - 1
     words = pack_windows_3bit(buf, k, pad_chunk=5)
-    tag = jnp.arange(buf.shape[0], dtype=jnp.int32) // jnp.int32(stride)
+    # row tag via 2-D iota: an arange // stride would be a genome-wide
+    # non-power-of-two integer division (no VPU divide unit)
+    tag = jax.lax.broadcasted_iota(jnp.int32, (Q, stride), 0).reshape(-1)
     words = _embed_tags(words, tag)
     return tuple(_radix_sort(words, w3_for_k(k)))
 
@@ -131,11 +133,15 @@ def unpack_rows3(keys3, rows, k: int, axis: str | None = None):
     else:
         in_range = None
         r = jnp.maximum(rows, 0)
+    # gather each key word ONCE per row (W gathers), then extract the k
+    # chunks elementwise -- a per-char keys3[w][r] formulation repeats the
+    # same gather up to 10x (gather volume is what TPU pays for)
+    words = [keys3[w][r] for w in range(W)]
     cols = []
     for i in range(k):
         t = k - 1 - i  # distance of char i from the window end
         w, j = divmod(t, 10)
-        cols.append(((keys3[w][r] >> jnp.uint32(27 - 3 * j)) & jnp.uint32(7)))
+        cols.append((words[w] >> jnp.uint32(27 - 3 * j)) & jnp.uint32(7))
     out = jnp.stack(cols, axis=1)
     if axis is not None:
         out = jax.lax.psum(
@@ -163,10 +169,41 @@ def _pack_codes_matrix(cm, k: int):
     return words
 
 
-def _lower_bound_device(keys3, probe_words):
+_BUCKET_BITS = 21
+
+
+def bucket_table(keys3):
+    """int32 [2^B] prefix-bucket starts over the colex row set:
+    ``tbl[p]`` = first row whose word-0 top B bits are >= p.
+
+    Bucketing by the key's high bits is order-consistent, so the lower
+    bound of any probe lies in [tbl[top(probe)], tbl[top(probe)+1]] --
+    the binary search starts ~2^B-fold narrower (random-DNA buckets at
+    B=21 hold ~n/8k rows: ~10 gather steps instead of ~23 on a genome-
+    scale table). Build cost is one scatter-min over the rows plus a
+    log-depth backward min-fill; cheap enough to recompute inside each
+    jitted consumer (no cross-call table plumbing)."""
+    n = keys3.shape[1]
+    size = 1 << _BUCKET_BITS
+    tops = (keys3[0] >> jnp.uint32(32 - _BUCKET_BITS)).astype(jnp.int32)
+    tbl = jnp.full((size,), n, jnp.int32)
+    tbl = tbl.at[tops].min(jnp.arange(n, dtype=jnp.int32))
+    # empty buckets inherit the next nonempty start (reverse doubling min)
+    s = 1
+    while s < size:
+        tbl = jnp.minimum(
+            tbl,
+            jnp.concatenate([tbl[s:], jnp.full((s,), n, jnp.int32)]),
+        )
+        s <<= 1
+    return tbl
+
+
+def _lower_bound_device(keys3, probe_words, tbl=None):
     """Vectorized lower bound of packed probes in the colex row set:
-    ~log2(n) gather steps of W words each. Sentinel tail rows
-    (0xFFFFFFFF) sort after every probe.
+    ~log2(n) gather steps of W words each (~log2(bucket) with a
+    :func:`bucket_table`). Sentinel tail rows (0xFFFFFFFF) sort after
+    every probe.
 
     Binary on purpose: an 8-ary variant (8 steps instead of 23, but 7
     pivots per step) measured 0.35 s SLOWER end-to-end at 4.6M on TPU
@@ -176,11 +213,20 @@ def _lower_bound_device(keys3, probe_words):
     W = keys3.shape[0]
     n = keys3.shape[1]
     N = probe_words[0].shape[0]
-    lo = jnp.zeros(N, dtype=jnp.int32)
-    hi = jnp.full(N, n, dtype=jnp.int32)
-    steps = max(1, int(n).bit_length())
+    if tbl is None:
+        lo = jnp.zeros(N, dtype=jnp.int32)
+        hi = jnp.full(N, n, dtype=jnp.int32)
+    else:
+        top = (probe_words[0] >> jnp.uint32(32 - _BUCKET_BITS)).astype(
+            jnp.int32
+        )
+        size = 1 << _BUCKET_BITS
+        lo = tbl[top]
+        hi = jnp.where(
+            top + 1 < size, tbl[jnp.minimum(top + 1, size - 1)], jnp.int32(n)
+        )
 
-    def body(_, lohi):
+    def body(lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
         less = jnp.zeros(N, dtype=bool)
@@ -190,18 +236,21 @@ def _lower_bound_device(keys3, probe_words):
             less = less | (eq & (tw < probe_words[w]))
             eq = eq & (tw == probe_words[w])
         # converged lanes (lo == hi, incl. lo == n for probes above every
-        # key) must not move: the fixed-step loop would otherwise bisect
-        # past the end and return n + 1
+        # key) must not move: the loop would otherwise bisect past the
+        # end and return n + 1
         act = lo < hi
         lo = jnp.where(act & less, mid + 1, lo)
         hi = jnp.where(act & ~less, mid, hi)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    lo, hi = jax.lax.while_loop(
+        lambda lh: jnp.any(lh[0] < lh[1]), body, (lo, hi)
+    )
     return lo
 
 
-def _member_rows_device(keys3, probe_words, axis: str | None = None):
+def _member_rows_device(keys3, probe_words, axis: str | None = None,
+                        tbl=None):
     """Membership of full-length probes in the colex row set: a vectorized
     binary search (rows are distinct length-k strings, so membership is
     equality at the lower bound). Runs inside jit -- the device twin of
@@ -210,7 +259,7 @@ def _member_rows_device(keys3, probe_words, axis: str | None = None):
     shards (at most one shard owns the row)."""
     W = keys3.shape[0]
     n = keys3.shape[1]
-    lo = _lower_bound_device(keys3, probe_words)
+    lo = _lower_bound_device(keys3, probe_words, tbl)
     found = lo < n
     at = jnp.minimum(lo, n - 1)
     eq = jnp.ones(probe_words[0].shape[0], dtype=bool)
@@ -222,7 +271,8 @@ def _member_rows_device(keys3, probe_words, axis: str | None = None):
     return member
 
 
-def _extend_members_device(keys3, prefix, k: int, axis: str | None = None):
+def _extend_members_device(keys3, prefix, k: int, axis: str | None = None,
+                           tbl=None):
     """Membership of the four prepend-variants b+prefix (b = A..T) in one
     binary search per lane instead of four.
 
@@ -246,7 +296,7 @@ def _extend_members_device(keys3, prefix, k: int, axis: str | None = None):
     pw = _pack_codes_matrix(cm1, k)
     wb, jb = divmod(k - 1, 10)
     sb = jnp.uint32(27 - 3 * jb)
-    lo = _lower_bound_device(keys3, pw)
+    lo = _lower_bound_device(keys3, pw, tbl)
     # gather the four candidate rows once
     rows_w = [
         [keys3[w][jnp.minimum(lo + j, n - 1)] for w in range(W)]
@@ -270,7 +320,7 @@ def _extend_members_device(keys3, prefix, k: int, axis: str | None = None):
 
 
 def left_extend_device(keys3, kmers, budgets, k: int,
-                       axis: str | None = None):
+                       axis: str | None = None, tbl=None):
     """Batched left extension on device (reference: src/gap_filling.rs:
     205-232, mirroring refine.gap_filling._left_extend_batch): per round,
     prepend each of the four bases to the lane's current (k-1)-prefix and
@@ -294,7 +344,7 @@ def left_extend_device(keys3, kmers, budgets, k: int,
 
     def body(state):
         prefix, pre, n_ext, active = state
-        member = _extend_members_device(keys3, prefix, k, axis)  # [4, E]
+        member = _extend_members_device(keys3, prefix, k, axis, tbl)  # [4, E]
         n_hits = jnp.sum(member.astype(jnp.int32), axis=0)
         choice = jnp.argmax(member, axis=0).astype(jnp.int32)
         ok = active & (n_hits == 1)
@@ -364,6 +414,7 @@ def resolve_variants_core(
     k: int,
     cap_d: int,
     axis: str | None = None,
+    d_lo: int = 0,
 ):
     """Variant patches for every anchored MS drop, fully on device.
 
@@ -419,22 +470,34 @@ def resolve_variants_core(
     # buffer pads k-1 slots per row so every window has full context;
     # the pad-straddling window keys are garbage, so DROP them before
     # the join -- the probe side of the sort+merge halves (S*(2k-1) ->
-    # S*k keys) for the same sliced result.
+    # S*k keys) for the same sliced result. ``d_lo`` (static, <= d-1)
+    # additionally drops the first d_lo offsets: msq feeds only
+    # _rightmost_peak(msq, d) and msq[i] <= i+1 < d for i < d-1, so
+    # those probes can never produce a peak nor flip a comparison
+    # (when both neighbors are < d neither qualifies; when ms[i] >= d
+    # and ms[i+1] < d the strict drop holds for ANY value < d).
+    kp = k - d_lo
+    assert 0 <= d_lo < k
     pad = jnp.full((S, k - 1), INVALID, jnp.uint8)
     pbuf = jnp.concatenate([pad, rk], axis=1).reshape(-1)
     p_words_all = pack_windows_3bit(pbuf, k, pad_chunk=7)
     stride = 2 * k - 1
     p_words = [
-        w.reshape(S, stride)[:, k - 1 :].reshape(-1) for w in p_words_all
+        w.reshape(S, stride)[:, k - 1 + d_lo :].reshape(-1)
+        for w in p_words_all
     ]
-    lane = jnp.arange(S * k, dtype=jnp.int32) // jnp.int32(k)
-    p_tag = lane // jnp.int32(cap_d)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, kp), 0).reshape(-1)
+    p_tag = lane // jnp.int32(cap_d)  # cap_d is a power of two (shift)
     p_words = _embed_tags(p_words, p_tag)
-    meta = jnp.arange(S * k, dtype=jnp.int32)
+    meta = jnp.arange(S * kp, dtype=jnp.int32)
     n_seq = seq_words[0].shape[0]
     cap_seq = jnp.full((n_seq,), kk)
     c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
-    msq = jnp.minimum(c, kk).reshape(S, k)
+    msq = jnp.minimum(c, kk).reshape(S, kp)
+    if d_lo:
+        msq = jnp.concatenate(
+            [jnp.zeros((S, d_lo), jnp.int32), msq], axis=1
+        )
 
     # vectorized resolve_variant (src/variant_calling.rs:139-201)
     eqa = qa == ra
@@ -615,7 +678,8 @@ def score_gaps_core(
     lane_g = fci // jnp.int32(k + 1)
     lane_km = km.reshape(GC, k)[fci]
     lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
-    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k, axis)
+    tbl = bucket_table(keys3)  # narrows every extension-round search
+    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k, axis, tbl)
     # leading match of the extended string vs ref from the gap's left
     # flank (host: _score_candidates phase D)
     i2k = jnp.arange(2 * k, dtype=jnp.int32)
@@ -736,7 +800,7 @@ def score_gaps_core(
 
 
 resolve_variants = jax.jit(
-    resolve_variants_core, static_argnames=("k", "cap_d", "axis")
+    resolve_variants_core, static_argnames=("k", "cap_d", "axis", "d_lo")
 )
 score_gaps = jax.jit(
     score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext", "axis")

@@ -447,11 +447,11 @@ def ms3_rows_sweep_index_sharded(sidx: Sharded3Index, codes, mesh: Mesh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "cap_d", "mesh")
+    jax.jit, static_argnames=("k", "cap_d", "mesh", "d_lo")
 )
 def sharded_resolve_variants(
     keys3, seq_words, codes, ref_mat, ms, lengths, drop_pos, apos, arow,
-    d, k: int, cap_d: int, mesh,
+    d, k: int, cap_d: int, mesh, d_lo: int = 0,
 ):
     """kernels.refine.resolve_variants with the key table prefix-sharded:
     the reference-k-mer unpack contributes per shard and psums; the
@@ -461,7 +461,8 @@ def sharded_resolve_variants(
 
     def shardfn(k3, sw, co, rm, m_, le, dp, ap, ar, dd):
         return resolve_variants_core(
-            k3, sw, co, rm, m_, le, dp, ap, ar, dd, k, cap_d, axis="model"
+            k3, sw, co, rm, m_, le, dp, ap, ar, dd, k, cap_d, axis="model",
+            d_lo=d_lo,
         )
 
     fn = jax.shard_map(

@@ -175,6 +175,7 @@ def map_devref_finish(
         pos_grids.append(gpos)
         pv_grids.append(gpv)
     if opts.call_variants:
+        d_lo = max(int(threshold) - 1, 0)
         seq_words = seq_keys3_tagged(codes_dev, k=k)
         if model_mesh is not None:
             from kbo_tpu.parallel.mesh import sharded_resolve_variants
@@ -183,7 +184,7 @@ def map_devref_finish(
                 dev.keys3, seq_words, codes_dev, ref_mat_dev, ms_dev,
                 lengths_dev, pieces["drop_pos"], pieces["apos"],
                 pieces["arow"], jnp.int32(threshold), k=k, cap_d=cap_d,
-                mesh=model_mesh,
+                mesh=model_mesh, d_lo=d_lo,
             )
         else:
             vpos, vpv, n_var_dev = resolve_variants(
@@ -199,6 +200,7 @@ def map_devref_finish(
                 jnp.int32(threshold),
                 k=k,
                 cap_d=cap_d,
+                d_lo=d_lo,
             )
         pos_grids.append(vpos)
         pv_grids.append(vpv)
@@ -358,7 +360,7 @@ def map_devref_finish(
 def devref_core(
     keys3, codes, ref_mat, lengths, ms, uniq, rows, threshold,
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
-    do_gaps: bool, do_vars: bool, fmt: bool,
+    do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -405,7 +407,7 @@ def devref_core(
         vpos, vpv, n_var = resolve_variants_core(
             keys3, seq_words, codes, ref_mat, ms, lengths,
             pieces["drop_pos"], pieces["apos"], pieces["arow"],
-            threshold, k, cap_d,
+            threshold, k, cap_d, d_lo=d_lo,
         )
         pos_grids.append(vpos)
         pv_grids.append(vpv)
@@ -472,14 +474,14 @@ def _data_stage1_impl(k3, l3, co, kk: int, mesh):
 
 def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, kk: int, cd: int,
                       cg: int, ce: int, cr: int, dg: bool, dv: bool,
-                      fm: bool, mesh):
+                      fm: bool, mesh, dl: int = 0):
     import jax
     from jax.sharding import PartitionSpec as P
 
     fn = jax.shard_map(
         lambda k3s, cos, rms, les, ms_, us, rs_, ths: devref_core(
             k3s, cos, rms, les, ms_, us, rs_, ths,
-            kk, cd, cg, ce, cr, dg, dv, fm,
+            kk, cd, cg, ce, cr, dg, dv, fm, d_lo=dl,
         ),
         mesh=mesh,
         in_specs=(
@@ -509,7 +511,7 @@ def _get_data_stages():
         _data_stage2 = jax.jit(
             _data_stage2_impl,
             static_argnames=(
-                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "mesh"
+                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "mesh", "dl"
             ),
         )
     return _data_stage1, _data_stage2
@@ -564,7 +566,7 @@ def map_devref_data_sharded(
     # same capacity asymmetry as the single-device path (api.py): gap
     # slots are much more expensive to score than drop slots and much
     # rarer in practice; undersizing pays a retry, never correctness
-    cap_d = _pow2_cap(L // 512)
+    cap_d = _pow2_cap(L // 1024)
     cap_g = _pow2_cap(L // 1536, lo=256)
     q_per = Q // nd
     for _attempt in range(3):
@@ -577,6 +579,7 @@ def map_devref_data_sharded(
             jnp.int32(threshold), kk=k, cd=cap_d, cg=cap_g, ce=cap_ext,
             cr=cap_r, dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), mesh=mesh,
+            dl=max(int(threshold) - 1, 0),
         )
         blocks = np.asarray(delta4).reshape(nd, 4, cap_r)
         max_d = int(blocks[:, 3, 2].max())

@@ -223,7 +223,7 @@ def test_pary_lower_bound_matches_bisect():
 
     import jax.numpy as jnp
 
-    from kbo_tpu.kernels.refine import _lower_bound_device
+    from kbo_tpu.kernels.refine import _lower_bound_device, bucket_table
 
     for n in (1, 2, 8, 9, 64, 5003):
         rng = np.random.default_rng(n)
@@ -243,6 +243,12 @@ def test_pary_lower_bound_matches_bisect():
         lo = np.asarray(
             _lower_bound_device(keys, [jnp.asarray(p0), jnp.asarray(p1)])
         )
+        lo_t = np.asarray(
+            _lower_bound_device(
+                keys, [jnp.asarray(p0), jnp.asarray(p1)], bucket_table(keys)
+            )
+        )
         tab = list(zip(w0.tolist(), w1.tolist()))
         for i, ab in enumerate(zip(p0.tolist(), p1.tolist())):
             assert lo[i] == bisect.bisect_left(tab, ab)
+            assert lo_t[i] == bisect.bisect_left(tab, ab)
