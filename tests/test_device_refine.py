@@ -252,3 +252,50 @@ def test_pary_lower_bound_matches_bisect():
         for i, ab in enumerate(zip(p0.tolist(), p1.tolist())):
             assert lo[i] == bisect.bisect_left(tab, ab)
             assert lo_t[i] == bisect.bisect_left(tab, ab)
+
+
+def test_resolve_variants_probe_range_reduction_identity():
+    # d_lo drops rk-vs-seq probe offsets whose MS values are bounded below
+    # the peak threshold: the emitted patches must be identical to the
+    # full-probe run for every d_lo in [0, threshold-1]
+    import jax.numpy as jnp
+
+    from kbo_tpu import engine
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.kernels.mapsweep import map_postprocess3, ms3_rows_sweep
+    from kbo_tpu.kernels.refine import resolve_variants, seq_keys3_tagged
+    from kbo_tpu.ops.derandomize import random_match_threshold
+
+    # k must exceed 2*threshold + 1 for SNPs to resolve (threshold ~17 at
+    # this index size) -- the reference's own calling regime
+    k = 51
+    ref, query = _pair(6_000, k, seed=23, snp_every=400, del_every=2500)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    t = random_match_threshold(k, index.n_kmers, 4, 1e-7)
+    dev = engine.device_index(index)
+    codes = encode_ascii(ref)
+    L = 8192
+    codes_mat = np.full((1, L), 255, np.uint8)
+    codes_mat[0, : codes.size] = codes
+    ref_mat = np.zeros((1, L), np.uint8)
+    ref_mat[0, : len(ref)] = np.frombuffer(ref, np.uint8)
+    lengths = jnp.asarray(np.asarray([codes.size], np.int32))
+    codes_dev = jnp.asarray(codes_mat)
+    ms, uniq, rows = ms3_rows_sweep(dev.keys3, dev.lcs3, codes_dev, k)
+    chars, packed, pieces = map_postprocess3(
+        ms, uniq, rows, lengths, k, jnp.int32(t), 256, 256
+    )
+    seq_words = seq_keys3_tagged(codes_dev, k=k)
+    outs = []
+    for d_lo in (0, max(t - 1, 0)):
+        pos, pv, n_var = resolve_variants(
+            dev.keys3, seq_words, codes_dev, jnp.asarray(ref_mat), ms,
+            lengths, pieces["drop_pos"], pieces["apos"], pieces["arow"],
+            jnp.int32(t), k=k, cap_d=256, d_lo=d_lo,
+        )
+        outs.append((np.asarray(pos), np.asarray(pv), int(n_var)))
+    assert outs[0][2] > 0, "workload must actually resolve variants"
+    assert (outs[0][0] == outs[1][0]).all()
+    assert (outs[0][1] == outs[1][1]).all()
+    assert outs[0][2] == outs[1][2]
