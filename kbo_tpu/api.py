@@ -582,10 +582,16 @@ def _map_batch_sparse(
                     dev.keys3, dev.lcs3, codes_dev, k
                 )
 
+            # the gap-candidate window never exceeds k - threshold + 1
+            # positions (kernels.mapsweep.map_postprocess3 docstring), so
+            # the grid, its gathers and the score_gaps candidate stage all
+            # shrink ~2x at production thresholds
+            w_grid = max(k - threshold + 1, 1)
+
             def run_post(cap_d, cap_g):
                 return map_postprocess3(
                     ms_dev, uniq_dev, rows_dev, lengths_dev, k, thr,
-                    cap_d, cap_g,
+                    cap_d, cap_g, w_grid,
                 )
 
             # fully-on-device refinement (kernels/refine.py): variant
@@ -659,7 +665,9 @@ def _map_batch_sparse(
                 anchors = scan[: drops.size]
                 anchor_rows = scan[cap_d : cap_d + drops.size]
             if opts.fill_gaps and runs:
-                grid = scan[2 * cap_d :].reshape(cap_g, k + 1)
+                grid = scan[2 * cap_d :].reshape(
+                    cap_g, max(k - threshold + 1, 1)
+                )
         else:
             # mesh / classic path: one union interval prefetch; anchor rounds and the
             # gap evaluator read from the provider's cache

@@ -362,7 +362,7 @@ def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int):
 
 
 def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
-                          cap_d: int, cap_g: int):
+                          cap_d: int, cap_g: int, w_grid: int | None = None):
     """Stage 2 of the fused map sweep: derandomize/translate, candidate
     compaction, device-side variant anchors and gap unique-context grids
     from the dense stage-1 outputs -- one packed int32 fetch carries
@@ -375,15 +375,23 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
     (kernels.ms.ms3_rows_core), so the refinement probe pass disappears.
 
     Returns (chars uint8 [Q, L] -- device-resident;
-    packed int32 [Q, 2 + cap_d + 2*cap_g + 2*cap_d + cap_g*(k+1)]):
+    packed int32 [Q, 2 + cap_d + 2*cap_g + 2*cap_d + cap_g*w_grid]):
     per row: n_drops, n_gaps, drop positions, gap starts, gap ends,
     anchor positions (-1 = none; reference anchor rule,
     src/variant_calling.rs:271-272), anchor colex rows, then the gap
     unique-context grid (colex row at search_lo_g + c when unique, else
     -1; src/gap_filling.rs:127-151, :466-478).
+
+    ``w_grid`` (static) is the candidate-window width: the reference's
+    search window is [end+t, min(end+radius, n-1)] with radius <= k, so
+    its width never exceeds k - threshold + 1; callers that know the
+    integer threshold pass that (the k+1 default is the thresholdless
+    upper bound). Positions beyond the true window are -1 either way.
     """
     Q, L = ms.shape
     assert k < 128, "packed probe word carries ms in 7 bits"
+    if w_grid is None:
+        w_grid = k + 1
     derand = jax.vmap(lambda m, n: derandomize_core(m, k, threshold, n))(
         ms, lengths
     )
@@ -497,7 +505,7 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
         radius = jnp.int32(k) - jnp.where(fits, t, 0)
         lo = end + t
         hi = jnp.minimum(end + radius, n_q - 1)
-        offs_g = jnp.arange(k + 1, dtype=jnp.int32)
+        offs_g = jnp.arange(w_grid, dtype=jnp.int32)
         pos_g = lo[:, None] + offs_g[None, :]
         valid_g = real_g[:, None] & (pos_g <= hi[:, None]) & (pos_g >= 0)
         pg = jnp.clip(pos_g, 0, L - 1)
@@ -528,7 +536,7 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
             cols(gap_end_at, cap_g),
             apos,
             arow,
-            grid.reshape(Q, cap_g * (k + 1)),
+            grid.reshape(Q, cap_g * w_grid),
         ],
         axis=1,
     )
@@ -549,7 +557,7 @@ def map_postprocess3_core(ms, uniq, rows, lengths, k: int, threshold,
 
 
 map_postprocess3 = jax.jit(
-    map_postprocess3_core, static_argnames=("k", "cap_d", "cap_g")
+    map_postprocess3_core, static_argnames=("k", "cap_d", "cap_g", "w_grid")
 )
 
 

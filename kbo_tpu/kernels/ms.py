@@ -302,12 +302,17 @@ def _use_back_scatter() -> bool:
 
     The merged-order -> query-order step has UNIQUE destinations (each
     query slot owns one buffer position; reference slots drop), so a
-    single scatter pass replaces a full single-key ``lax.sort`` over the
-    merged width. ``KBO_TPU_BACKSCATTER=0`` keeps the sort (differential
-    testing / fallback)."""
+    single scatter pass could replace a full single-key ``lax.sort`` over
+    the merged width -- but MEASURED on TPU v5e it loses: find-core went
+    94 -> 187 ms at a 16M merged width (random scattered writes run
+    ~170M/s while a single-key sort pass runs ~800M elem/s), consistent
+    with the earlier rule that gather/scatter VOLUME is what this
+    hardware pays for (rank scatters only won where the destination was
+    a few-K compaction buffer). Default stays the sort;
+    ``KBO_TPU_BACKSCATTER=1`` re-enables the scatter for measurement."""
     import os
 
-    return os.environ.get("KBO_TPU_BACKSCATTER", "1") != "0"
+    return os.environ.get("KBO_TPU_BACKSCATTER", "0") == "1"
 
 
 def _back_to_order(keys, payloads, size: int, fills):

@@ -583,14 +583,17 @@ def score_gaps_core(
     ``cap_ext`` case_b lanes overall, or an extension budget beyond k
     chars) -- those fall back to the exact host evaluator.
 
-    grid: [Q, cap_ge, k+1] colex row of candidate jpos = search_lo + c
-    when unique, else -1 (from kernels.mapsweep.map_postprocess3).
+    grid: [Q, cap_ge, w] colex row of candidate jpos = search_lo + c
+    when unique, else -1 (from kernels.mapsweep.map_postprocess3; the
+    static width w <= k+1 comes from the grid's own shape -- the true
+    search window never exceeds k - threshold + 1 positions).
     Returns (patch_pos [G, k], patch_prio_val [G, k], needs_host [G] bool,
     counters int32 [3] = gaps_seen, gaps_filled, unfilled_bases) with
     G = Q * cap_ge.
     """
     Q, L = ref_ascii.shape
     G = Q * cap_ge
+    w = int(grid.shape[-1])
     t = jnp.int32(threshold)
     kk = jnp.int32(k)
 
@@ -607,25 +610,25 @@ def score_gaps_core(
     lo = end + t
     hi = jnp.minimum(end + radius, n_q - 1)
 
-    cgrid = grid.reshape(Q, -1, k + 1)[:, :cap_ge].reshape(G, k + 1)
-    c_t = jnp.arange(k + 1, dtype=jnp.int32)
+    cgrid = grid.reshape(Q, -1, w)[:, :cap_ge].reshape(G, w)
+    c_t = jnp.arange(w, dtype=jnp.int32)
     jpos = lo[:, None] + c_t[None, :]
     cand = real[:, None] & (cgrid >= 0) & (jpos <= hi[:, None])
 
     rows = jnp.maximum(cgrid, 0).reshape(-1)
-    km = unpack_rows3(keys3, rows, k, axis).reshape(G, k + 1, k)  # chunks
+    km = unpack_rows3(keys3, rows, k, axis).reshape(G, w, k)  # chunks
     ka = _CHUNK_ASCII[km]
 
     # phase C: overlap run lengths in RAW ASCII space. Candidate c's
     # right window is ref[jpos-k+1 .. jpos] with jpos = lo + c -- the
-    # k+1 windows slide by one char, so gather the union span
-    # ref[lo-k+1 .. lo+k-1] once per gap ([G, 2k]) and build the window
-    # stack from static slices (the naive [G, k+1, k] gather measured
-    # ~0.15 s at G=4096 on TPU; the span gather is 26x smaller)
+    # w windows slide by one char, so gather the union span
+    # ref[lo-k+1 .. lo+w-2] once per gap ([G, k-1+w]) and build the
+    # window stack from static slices (the naive [G, w, k] gather
+    # measured ~0.15 s at G=4096 on TPU; the span gather is ~k x smaller)
     ref_flat = ref_ascii.reshape(-1)
     off = jnp.arange(k, dtype=jnp.int32)
     span_pos = (lo - jnp.int32(k - 1))[:, None] + jnp.arange(
-        2 * k, dtype=jnp.int32
+        k - 1 + w, dtype=jnp.int32
     )[None, :]
     span_ok = (span_pos >= 0) & (span_pos < n_q[:, None])
     span = jnp.where(
@@ -636,7 +639,7 @@ def score_gaps_core(
         ],
         _OOB,
     )
-    right_win = jnp.stack([span[:, c : c + k] for c in range(k + 1)], axis=1)
+    right_win = jnp.stack([span[:, c : c + k] for c in range(w)], axis=1)
     rg = _trailing_run((ka == right_win)[:, :, 1:])
     want = jpos - end[:, None] + 1
 
@@ -663,7 +666,7 @@ def score_gaps_core(
     # sort-compacted into a static budget; a gap owning a lane that does
     # not fit (cap_ext overflow, or an extension budget beyond k chars)
     # is flagged for the exact host evaluator instead of guessed.
-    GC = G * (k + 1)
+    GC = G * w
     bud = lreq + gap_len[:, None] + rg - kk  # > 0 wherever case_b
     flat_cb = case_b.reshape(-1)
     rank = jnp.cumsum(flat_cb.astype(jnp.int32)) - flat_cb.astype(jnp.int32)
@@ -675,7 +678,7 @@ def score_gaps_core(
     fc = jax.lax.sort(fcand, is_stable=False)[:cap_ext]
     lane_valid = fc < GC
     fci = jnp.minimum(fc, GC - 1)
-    lane_g = fci // jnp.int32(k + 1)
+    lane_g = fci // jnp.int32(w)
     lane_km = km.reshape(GC, k)[fci]
     lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
     tbl = bucket_table(keys3)  # narrows every extension-round search
@@ -701,15 +704,15 @@ def score_gaps_core(
     lane_ok = lane_valid & (lane_lm >= lreq)
     ext_ok = (
         jnp.zeros(GC, dtype=bool).at[fc].set(lane_ok, mode="drop")
-    ).reshape(G, k + 1)
+    ).reshape(G, w)
 
     # phase E: first success in DESCENDING position order across BOTH
     # candidate kinds (the reference's scan order)
     success = case_a | ext_ok
     has_w = success.any(axis=1)
-    cwin = k - jnp.argmax(success[:, ::-1], axis=1).astype(jnp.int32)
+    cwin = (w - 1) - jnp.argmax(success[:, ::-1], axis=1).astype(jnp.int32)
     cwin = jnp.where(has_w, cwin, -1)
-    needs_host = real & dropped.reshape(G, k + 1).any(axis=1)
+    needs_host = real & dropped.reshape(G, w).any(axis=1)
 
     sel = jnp.maximum(cwin, 0)[:, None]
     win_is_a = has_w & (jnp.take_along_axis(case_a, sel, axis=1)[:, 0])
@@ -737,7 +740,7 @@ def score_gaps_core(
 
     # --- extension winner: fill = ext[start:end] from the winning lane
     win_flat = jnp.where(
-        has_w, jnp.arange(G, dtype=jnp.int32) * jnp.int32(k + 1) + sel[:, 0],
+        has_w, jnp.arange(G, dtype=jnp.int32) * jnp.int32(w) + sel[:, 0],
         jnp.int32(GC),
     )
     li = jnp.clip(jnp.searchsorted(fc, win_flat), 0, cap_ext - 1)

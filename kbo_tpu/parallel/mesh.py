@@ -569,6 +569,7 @@ def map_batch_index_sharded(
             chars_dev, packed_dev, pieces = map_postprocess3(
                 ms_dev, uniq_dev, rows_dev, lengths_dev, k,
                 jnp.int32(threshold), cap_d, cap_g,
+                max(k - threshold + 1, 1),
             )
             try:
                 return map_devref_finish(

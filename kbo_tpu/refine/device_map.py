@@ -266,6 +266,7 @@ def map_devref_finish(
             if n_need_host
             else np.zeros((Q, cap_ge), dtype=bool)
         )
+        w_grid = int(pieces["grid"].shape[-1])
         block = np.asarray(packed_dev)
         bcounts = block[:, :2]
         packed = block[:, 2:]
@@ -288,8 +289,8 @@ def map_devref_finish(
             starts = packed[q, cap_d : cap_d + ng]
             ends = packed[q, cap_d + cap_g : cap_d + cap_g + ng]
             runs = [(int(starts[j]), int(ends[j])) for j in sel]
-            grid_all = packed[q, grid_off : grid_off + cap_g * (k + 1)]
-            grid_sel = grid_all.reshape(cap_g, k + 1)[sel]
+            grid_all = packed[q, grid_off : grid_off + cap_g * w_grid]
+            grid_sel = grid_all.reshape(cap_g, w_grid)[sel]
             gp = gap_filling.fill_gaps_patches(
                 runs, None, ref_seq, query_sbwt, threshold,
                 opts.max_error_prob, grid=grid_sel,
@@ -361,6 +362,7 @@ def devref_core(
     keys3, codes, ref_mat, lengths, ms, uniq, rows, threshold,
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
     do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
+    w_grid: int | None = None,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -387,7 +389,7 @@ def devref_core(
     )
 
     chars, _packed, pieces = map_postprocess3_core(
-        ms, uniq, rows, lengths, k, threshold, cap_d, cap_g
+        ms, uniq, rows, lengths, k, threshold, cap_d, cap_g, w_grid
     )
     Q, L = codes.shape
     pos_grids, pv_grids = [], []
@@ -474,14 +476,14 @@ def _data_stage1_impl(k3, l3, co, kk: int, mesh):
 
 def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, kk: int, cd: int,
                       cg: int, ce: int, cr: int, dg: bool, dv: bool,
-                      fm: bool, mesh, dl: int = 0):
+                      fm: bool, mesh, dl: int = 0, wg: int | None = None):
     import jax
     from jax.sharding import PartitionSpec as P
 
     fn = jax.shard_map(
         lambda k3s, cos, rms, les, ms_, us, rs_, ths: devref_core(
             k3s, cos, rms, les, ms_, us, rs_, ths,
-            kk, cd, cg, ce, cr, dg, dv, fm, d_lo=dl,
+            kk, cd, cg, ce, cr, dg, dv, fm, d_lo=dl, w_grid=wg,
         ),
         mesh=mesh,
         in_specs=(
@@ -511,7 +513,8 @@ def _get_data_stages():
         _data_stage2 = jax.jit(
             _data_stage2_impl,
             static_argnames=(
-                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "mesh", "dl"
+                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "mesh",
+                "dl", "wg",
             ),
         )
     return _data_stage1, _data_stage2
@@ -580,6 +583,7 @@ def map_devref_data_sharded(
             cr=cap_r, dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), mesh=mesh,
             dl=max(int(threshold) - 1, 0),
+            wg=max(k - int(threshold) + 1, 1),
         )
         blocks = np.asarray(delta4).reshape(nd, 4, cap_r)
         max_d = int(blocks[:, 3, 2].max())

@@ -47,12 +47,11 @@ def main():
 
     # ---- 1. back-sort vs scatter at M = 8M (the merged width at 4.6M)
     M = 1 << 23
-    T = 4_800_000
     # merged order: sort_key = buffer position for query slots, M for refs
-    is_q = rng.random(M) < (T / M)
-    n_q = int(is_q.sum())
+    is_q = rng.random(M) < 0.57
+    T = n_q = int(is_q.sum())
     meta = np.full(M, M, dtype=np.int32)
-    meta[is_q] = rng.permutation(T)[:n_q]
+    meta[is_q] = rng.permutation(T)
     payload = rng.integers(0, 2**31, M, dtype=np.int32)
     meta_d = jnp.asarray(meta)
     pay_d = jnp.asarray(payload)
@@ -195,6 +194,47 @@ def main():
     t_gw = timeit(gather_words, keys, rows)
     print(f"gather S={S}: chars(51) {t_gc*1e3:.1f}ms words(6) {t_gw*1e3:.1f}ms",
           flush=True)
+
+    # ---- 4. bitonic merge (pow2 padding) vs concat+radix at bad ratios
+    # find shape: table 4.7M + probes 4.72M -> merge pads to 16.8M (+78%);
+    # resolve shape: 4.65M + 0.24M -> pads to 8.4M (+71%)
+    from kbo_tpu.kernels.ms import _radix_sort
+    from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+    for name, n_t, n_p, Wm in (("find2bit", 4_700_000, 4_718_592, 4),
+                               ("resolve", 4_650_000, 245_760, 6),
+                               ("sweepchunk", 4_700_000, 2_409_472, 6)):
+        t_words = [jnp.asarray(np.sort(
+            rng.integers(0, 2**30, n_t).astype(np.uint32)))] + [
+            jnp.asarray(rng.integers(0, 2**30, n_t).astype(np.int64)
+                        .astype(np.uint32)) for _ in range(Wm - 1)]
+        t_pay = jnp.asarray(rng.integers(0, 2**31, n_t, dtype=np.int64)
+                            .astype(np.uint32))
+        p_words = [jnp.asarray(rng.integers(0, 2**30, n_p).astype(np.int64)
+                               .astype(np.uint32)) for _ in range(Wm)]
+        p_pay = jnp.asarray(rng.integers(0, 2**31, n_p, dtype=np.int64)
+                            .astype(np.uint32))
+
+        @jax.jit
+        def via_merge(tw0, tp, pw0, pp):
+            tw = list(tw0)
+            pw = list(pw0)
+            p_ops = _radix_sort(pw + [pp], Wm)
+            merged = bitonic_merge(tw + [tp], p_ops, n_comps=Wm,
+                                   slice_output=False)
+            return merged[Wm]
+
+        @jax.jit
+        def via_radix(tw0, tp, pw0, pp):
+            sw = [jnp.concatenate([a, b]) for a, b in zip(tw0, pw0)]
+            spay = jnp.concatenate([tp, pp])
+            ops = _radix_sort(sw + [spay], Wm)
+            return ops[Wm]
+
+        tm = timeit(via_merge, tuple(t_words), t_pay, tuple(p_words), p_pay)
+        tr = timeit(via_radix, tuple(t_words), t_pay, tuple(p_words), p_pay)
+        print(f"merge-vs-radix {name} ({n_t/1e6:.1f}M+{n_p/1e6:.2f}M, W={Wm}): "
+              f"merge {tm*1e3:.1f}ms radix {tr*1e3:.1f}ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -89,11 +89,14 @@ def main():
             c <<= 1
         return c
 
-    cap_d = _pow2_cap(L // 512)
+    cap_d = _pow2_cap(L // 1024)
     cap_g = _pow2_cap(L // 1536, lo=256)
     cap_ext = _pow2_cap(max(4 * cap_g, 32 * Q), lo=256)
     cap_r = _pow2_cap(int(L // 512 + cap_g * 2 + 64 + 256))
-    print(f"# Q={Q} L={L} cap_d={cap_d} cap_g={cap_g} cap_ext={cap_ext}")
+    w_grid = max(k - threshold + 1, 1)
+    d_lo = max(threshold - 1, 0)
+    print(f"# Q={Q} L={L} cap_d={cap_d} cap_g={cap_g} cap_ext={cap_ext} "
+          f"w_grid={w_grid} d_lo={d_lo} t={threshold}")
 
     from kbo_tpu.kernels.ms import _bucket as _kbucket
 
@@ -149,7 +152,8 @@ def main():
     post = timestage(
         "postprocess",
         lambda: map_postprocess3(
-            ms_dev, uniq_dev, rows_dev, lengths_dev, k, thr, cap_d, cap_g
+            ms_dev, uniq_dev, rows_dev, lengths_dev, k, thr, cap_d, cap_g,
+            w_grid,
         ),
         lambda o: sync_u32(o[1][:, :8]),
     )
@@ -168,7 +172,7 @@ def main():
         lambda: resolve_variants(
             dev.keys3, seq_words, codes_dev, ref_mat_dev, ms_dev,
             lengths_dev, pieces["drop_pos"], pieces["apos"], pieces["arow"],
-            thr, k=k, cap_d=cap_d,
+            thr, k=k, cap_d=cap_d, d_lo=d_lo,
         ),
         lambda o: sync_u32(o[0][:, :1]) + int(o[2]),
     )
