@@ -348,20 +348,38 @@ def _map_batch_sparse(
         k, query_sbwt.n_kmers, 4, opts.max_error_prob
     )
     dev = engine.device_index(query_sbwt)
-    code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
-    codes, lengths = pad_batch(code_list, bucket=True)
+    from kbo_tpu.kernels.ms import INVALID as _INV, _bucket as _kb
+
+    # shapes come from the byte lengths alone (1 code per byte); the host
+    # encode of the whole genome is DEFERRED -- the devref fast path
+    # derives the sweep codes on device from the packed reference upload
+    # and never reads a host code array
+    seq_lens = np.asarray([len(r) for r in ref_seqs], dtype=np.int32)
+    Q0 = len(ref_seqs)
+    Q = Q0
     if mesh is not None:
         nd = mesh.devices.size
-        Qp = ((codes.shape[0] + nd - 1) // nd) * nd
-        if Qp != codes.shape[0]:
-            from kbo_tpu.kernels.ms import INVALID as _INV
+        Q = ((Q0 + nd - 1) // nd) * nd
+    L = _kb(int(seq_lens.max()))
+    lengths = np.zeros(Q, dtype=np.int32)
+    lengths[:Q0] = seq_lens
 
-            codes = np.pad(
-                codes, ((0, Qp - codes.shape[0]), (0, 0)),
-                constant_values=_INV,
-            )
-            lengths = np.pad(lengths, (0, Qp - lengths.size))
-    Q, L = codes.shape
+    _lazy: dict = {}
+
+    def get_code_list():
+        if "cl" not in _lazy:
+            _lazy["cl"] = [encode_ascii(bytes(r)) for r in ref_seqs]
+        return _lazy["cl"]
+
+    def get_codes():
+        if "codes" not in _lazy:
+            arr = np.full((Q, L), _INV, dtype=np.uint8)
+            for i, c in enumerate(get_code_list()):
+                arr[i, : c.size] = c
+            _lazy["codes"] = arr
+        return _lazy["codes"]
+
+    total_bases = int(seq_lens.sum())
     # patch/delta positions travel as int32 flat offsets (q * L + i)
     assert Q * L < 2**31, "padded batch exceeds the int32 position space"
 
@@ -440,16 +458,16 @@ def _map_batch_sparse(
             q_per <= max_tag(k)
             and table_w + q_per * (L + k - 1) < (1 << 24) - 1
         ):
-            with stage("map_sweep", bases=sum(c.size for c in code_list)):
+            with stage("map_sweep", bases=total_bases):
                 out = map_devref_data_sharded(
-                    ref_seqs, query_sbwt, code_list, opts, threshold, mesh
+                    ref_seqs, query_sbwt, get_code_list(), opts, threshold, mesh
                 )
             if out is not None:
                 return out
             # extension-budget gaps or persistent overflow: degrade to
             # the classic mesh sweep + host refinement below
 
-    with stage("map_sweep", bases=sum(c.size for c in code_list)):
+    with stage("map_sweep", bases=total_bases):
         # optimistic capacities: only a denser-than-expected input pays a
         # second exactly-sized pass. Drops (SNP sites) run ~1/kb on
         # same-species pairs; gap runs (indels / low-identity stretches)
@@ -481,12 +499,12 @@ def _map_batch_sparse(
                     gap_start_dev,
                     gap_end_dev,
                 ) = map_sweep_compact_sharded(
-                    dev, codes, lengths, threshold, mesh
+                    dev, get_codes(), lengths, threshold, mesh
                 )
             else:  # classic single-device 2-bit sweep (see gate above)
                 from kbo_tpu.kernels.mapsweep import map_sweep_compact
 
-                codes_dev = jnp.asarray(codes)
+                codes_dev = jnp.asarray(get_codes())
                 (
                     chars_dev,
                     ms_dev,
@@ -565,7 +583,7 @@ def _map_batch_sparse(
                     ref_mat_dev = jnp.asarray(ref_mat)
                 codes_dev = encode_ascii_device(ref_mat_dev)
             else:
-                codes_dev = jnp.asarray(codes)
+                codes_dev = jnp.asarray(get_codes())
             lengths_dev = jnp.asarray(lengths)
             thr = jnp.int32(threshold)
             # the join stage is cap-independent: the capacity-overflow
@@ -613,7 +631,7 @@ def _map_batch_sparse(
                         return map_devref_finish(
                             dev, codes_dev, lengths_dev, ms_dev,
                             chars_dev, pieces, packed_dev, ref_seqs,
-                            query_sbwt, code_list, opts, threshold,
+                            query_sbwt, None, opts, threshold,
                             cap_d, cap_g,
                             total_gap_slack=cap_g * 2 + 64,
                             ref_mat=ref_mat, ref_mat_dev=ref_mat_dev,
@@ -654,7 +672,7 @@ def _map_batch_sparse(
             )
         )
         ivals = engine.SparseIntervals(
-            query_sbwt, code_list[q], ms=ms_dev[q], dev_codes=codes_dev[q]
+            query_sbwt, get_code_list()[q], ms=ms_dev[q], dev_codes=codes_dev[q]
         )
         anchors = anchor_rows = grid = None
         if scan_block is not None:
@@ -726,7 +744,7 @@ def _map_batch_sparse(
                 np.fromiter(patches.values(), dtype=np.int64).astype(np.uint8)
             )
 
-    with stage("map_assemble", bases=sum(c.size for c in code_list)):
+    with stage("map_assemble", bases=total_bases):
         n_p = sum(p.size for p in patch_pos)
         cap_p = _pow2_cap(max(n_p, 1))
         pp = np.full(cap_p, Q * L, dtype=np.int32)  # out of range = inert

@@ -379,6 +379,191 @@ def left_extend_device(keys3, kmers, budgets, k: int,
     return exts, k + n_ext
 
 
+# ------------------------------------------- precomputed extension chains
+
+
+def _shift_key_down(words):
+    """(k-1)-key of r[:k-1]: chunk at distance t := r's chunk at distance
+    t+1 (drop r's LAST char). Cross-word 3-bit funnel; incoming top chunks
+    beyond the key are zero in real row words."""
+    W = len(words)
+    mask30 = jnp.uint32(0x3FFFFFFF)
+    out = []
+    for w in range(W):
+        v = (words[w] << jnp.uint32(3)) & mask30
+        if w + 1 < W:
+            v = v | ((words[w + 1] >> jnp.uint32(27)) & jnp.uint32(7))
+        out.append(v)
+    return out
+
+
+def build_ext_table_core(keys3, k: int):
+    """Canonical left-extension chain of EVERY colex row, precomputed.
+
+    The device extension rule (:func:`left_extend_device`, reference:
+    src/gap_filling.rs:205-232) extends a row r by char b iff b + r[:k-1]
+    is EXACTLY ONE row -- a pure function of r. So each row has one
+    canonical chain parent(r) (the unique such row, -1 when 0 or >=2
+    exist), and a lane's extension is simply the first min(budget, k,
+    chain length) chars of r's canonical chain. This builds that table
+    once per index: a sorted (k-1)-key join pairs every row's dropped-
+    last-char key r[:k-1] with every row's dropped-first-char key s[1:]
+    (one radix sort of 2n keys), then pointer doubling packs up to k
+    chain chars per row. Per-call extension becomes a gather -- the
+    while-loop of membership binary searches (one ~30-45ms search per
+    round on a genome-scale table) disappears from the map hot path.
+
+    Returns (ext_words uint32 [W, n] -- chain chars packed 3-bit in chain
+    order, slot j at word j//10 bits 27-3*(j%10); ext_len int32 [n]).
+    """
+    W = int(keys3.shape[0])
+    n = int(keys3.shape[1])
+    words = [keys3[w] for w in range(W)]
+    wA, jA = divmod(k - 1, 10)
+    shiftA = jnp.uint32(27 - 3 * jA)
+    first = (words[wA] >> shiftA) & jnp.uint32(7)
+    akeys = list(words)
+    akeys[wA] = akeys[wA] & ~(jnp.uint32(7) << shiftA)
+    bkeys = _shift_key_down(words)
+
+    rows_idx = jnp.arange(n, dtype=jnp.uint32)
+    a_pay = (rows_idx << 8) | (first << 1) | jnp.uint32(1)
+    b_pay = rows_idx << 8
+    sw = [jnp.concatenate([akeys[w], bkeys[w]]) for w in range(W)]
+    pay = jnp.concatenate([a_pay, b_pay])
+    ops = _radix_sort(sw + [pay], W)
+    sw, pay = ops[:W], ops[W]
+
+    M = 2 * n
+    isA = (pay & 1) == 1
+    chr3 = ((pay >> 1) & jnp.uint32(7)).astype(jnp.int32)
+    row = (pay >> 8).astype(jnp.int32)
+    boundary = jnp.zeros(M, dtype=bool).at[0].set(True)
+    for w in range(W):
+        prev = jnp.concatenate([sw[w][:1] ^ jnp.uint32(1), sw[w][:-1]])
+        boundary = boundary | (sw[w] != prev)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    from kbo_tpu.kernels.ms import _carry_nearest
+
+    start = _carry_nearest(jnp.where(boundary, idx, -1), reverse=False)
+    nb = jnp.concatenate([boundary[1:], jnp.ones(1, bool)])
+    last = _carry_nearest(jnp.where(nb, idx, -1), reverse=True)
+
+    # per group: count of A slots whose first char is a real base, and the
+    # (row, char) of the max such slot (== THE slot when the count is 1)
+    a01 = isA & (chr3 >= 1) & (chr3 <= 4)
+    S = jnp.cumsum(a01.astype(jnp.int32))
+    S_last = S[last]
+    S_before = jnp.where(start > 0, S[jnp.maximum(start - 1, 0)], 0)
+    cnt = S_last - S_before
+    m1 = jnp.where(a01, (row << 3) | chr3, jnp.int32(-1))
+    fm = m1
+    s = 1
+    while s < M:
+        fm_sh = jnp.concatenate([jnp.full((s,), -1, jnp.int32), fm[:-s]])
+        st_sh = jnp.concatenate([jnp.full((s,), -1, jnp.int32), start[:-s]])
+        fm = jnp.maximum(fm, jnp.where(st_sh == start, fm_sh, -1))
+        s <<= 1
+    gmax = fm[last]
+
+    ok_b = (~isA) & (cnt == 1) & (gmax >= 0)
+    tgt = jnp.where(ok_b, row, jnp.int32(n))
+    parent = jnp.full(n, -1, jnp.int32).at[tgt].set(
+        gmax >> 3, mode="drop"
+    )
+    pchar = jnp.zeros(n, jnp.uint32).at[tgt].set(
+        (gmax & 7).astype(jnp.uint32), mode="drop"
+    )
+
+    # pointer doubling: accumulate up to k chain chars per row
+    pv = parent >= 0
+    ext_len = pv.astype(jnp.int32)
+    ew = [jnp.zeros(n, jnp.uint32) for _ in range(W)]
+    ew[0] = jnp.where(pv, pchar << jnp.uint32(27), jnp.uint32(0))
+    hop = jnp.where(pv, parent, jnp.arange(n, dtype=jnp.int32))
+    # rows with no parent contribute length 0 forever (hop = self)
+    rounds = max(1, (k - 1).bit_length())
+    for _ in range(rounds):
+        g_len = ext_len[hop]
+        g_words = [ew[w][hop] for w in range(W)]
+        shifted = _shift_chain(g_words, ext_len)
+        ew = [ew[w] | shifted[w] for w in range(W)]
+        ext_len = jnp.minimum(ext_len + g_len, k)
+        hop = hop[hop]
+    return jnp.stack(ew), ext_len
+
+
+def _shift_chain(src, e):
+    """Shift a 3-bit chain-char stream right by ``e`` chunk slots (per
+    lane, dynamic): target word wt chunk j = src chunk 10*wt + j - e.
+    Chunks pushed past the last word drop (reads are capped by length)."""
+    W = len(src)
+    mask30 = jnp.uint32(0x3FFFFFFF)
+    q = e // 10
+    r = e % 10
+    sh_r = (3 * r).astype(jnp.uint32)
+    sh_l = (30 - 3 * r).astype(jnp.uint32)
+    out = []
+    for wt in range(W):
+        v = jnp.zeros_like(src[0])
+        for ws in range(W):
+            if wt - ws >= 0:
+                v = v | jnp.where(q == (wt - ws), src[ws] >> sh_r, 0)
+            if wt - ws - 1 >= 0:
+                v = v | jnp.where(
+                    q == (wt - ws - 1), (src[ws] << sh_l) & mask30, 0
+                )
+        out.append(v)
+    return out
+
+
+build_ext_table = jax.jit(build_ext_table_core, static_argnames=("k",))
+
+
+def get_ext_table(dev):
+    """Lazy per-index extension-chain table (cached on the device index).
+
+    ``KBO_TPU_EXT_TABLE=0`` disables the table (score_gaps falls back to
+    the while-loop extension) for differential testing."""
+    import os
+
+    if os.environ.get("KBO_TPU_EXT_TABLE", "1") == "0":
+        return None
+    cached = getattr(dev, "_ext_table", None)
+    if cached is None:
+        cached = build_ext_table(dev.keys3, dev.k)
+        dev._ext_table = cached
+    return cached
+
+
+def ext_from_table(ext_words, ext_len_tab, rows, kmers, budgets, k: int):
+    """Table-backed twin of :func:`left_extend_device`: the lane's
+    extension is the first min(budget, chain length) chars of its row's
+    canonical chain. Returns (exts [E, 2k] chunk codes, ext_len [E])."""
+    E = kmers.shape[0]
+    W = ext_words.shape[0]
+    r = jnp.maximum(rows, 0)
+    ce = [ext_words[w][r] for w in range(W)]
+    n_ext = jnp.minimum(jnp.maximum(budgets, 0), ext_len_tab[r])
+    i2k = jnp.arange(2 * k, dtype=jnp.int32)[None, :]
+    # char i < n_ext: chain slot n_ext - 1 - i; else kmer[i - n_ext]
+    slot = jnp.maximum(n_ext[:, None] - 1 - i2k, 0)
+    sw_, sj = slot // 10, slot % 10
+    sh = (jnp.int32(27) - 3 * sj).astype(jnp.uint32)
+    chain_char = jnp.zeros((E, 2 * k), jnp.uint32)
+    for w in range(W):
+        chain_char = chain_char | jnp.where(
+            sw_ == w, (ce[w][:, None] >> sh) & jnp.uint32(7), 0
+        )
+    km_idx = jnp.clip(i2k - n_ext[:, None], 0, k - 1)
+    exts = jnp.where(
+        i2k < n_ext[:, None],
+        chain_char.astype(jnp.uint8),
+        jnp.take_along_axis(kmers, km_idx, axis=1),
+    )
+    return exts, k + n_ext
+
+
 def _leading_run(eq):
     """Per row: length of the leading True run (eq: [..., T] bool)."""
     return jnp.sum(
@@ -572,6 +757,7 @@ def score_gaps_core(
     cap_ge: int,
     cap_ext: int,
     axis: str | None = None,
+    ext_tab=None,
 ):
     """Gap-fill candidate scoring + first-success commit on device.
 
@@ -681,8 +867,17 @@ def score_gaps_core(
     lane_g = fci // jnp.int32(w)
     lane_km = km.reshape(GC, k)[fci]
     lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
-    tbl = bucket_table(keys3)  # narrows every extension-round search
-    exts, ext_len = left_extend_device(keys3, lane_km, lane_bud, k, axis, tbl)
+    if ext_tab is not None:
+        # precomputed canonical chains: the whole extension is W+1 gathers
+        lane_row = rows[fci]
+        exts, ext_len = ext_from_table(
+            ext_tab[0], ext_tab[1], lane_row, lane_km, lane_bud, k
+        )
+    else:
+        tbl = bucket_table(keys3)  # narrows every extension-round search
+        exts, ext_len = left_extend_device(
+            keys3, lane_km, lane_bud, k, axis, tbl
+        )
     # leading match of the extended string vs ref from the gap's left
     # flank (host: _score_candidates phase D)
     i2k = jnp.arange(2 * k, dtype=jnp.int32)

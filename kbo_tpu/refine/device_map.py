@@ -160,6 +160,8 @@ def map_devref_finish(
                 mesh=model_mesh,
             )
         else:
+            from kbo_tpu.kernels.refine import get_ext_table
+
             gpos, gpv, needs_host_dev, gap_counters_dev = score_gaps(
                 dev.keys3,
                 ref_mat_dev,
@@ -171,6 +173,7 @@ def map_devref_finish(
                 k=k,
                 cap_ge=cap_ge,
                 cap_ext=cap_ext,
+                ext_tab=get_ext_table(dev),
             )
         pos_grids.append(gpos)
         pv_grids.append(gpv)

@@ -254,6 +254,51 @@ def test_pary_lower_bound_matches_bisect():
             assert lo_t[i] == bisect.bisect_left(tab, ab)
 
 
+def test_ext_table_matches_extension_loop():
+    # the precomputed canonical-chain table must reproduce the while-loop
+    # extension exactly: same chars, same lengths, for every row and any
+    # budget (incl. 0, 1, k and chain-terminating rows)
+    import jax.numpy as jnp
+
+    from kbo_tpu import engine
+    from kbo_tpu.kernels.refine import (
+        build_ext_table,
+        ext_from_table,
+        left_extend_device,
+        unpack_rows3,
+    )
+
+    for k, n in ((31, 4000), (13, 800)):
+        ref, query = _pair(n, k, seed=31, snp_every=300, del_every=900,
+                           del_len=2)
+        bo = BuildOpts(k=k, build_select=True)
+        index = build([query], bo)
+        dev = engine.device_index(index)
+        ew, el = build_ext_table(dev.keys3, k)
+        rng = np.random.default_rng(5)
+        rows = jnp.asarray(
+            rng.integers(0, index.n_rows, 256).astype(np.int32)
+        )
+        budgets = jnp.asarray(
+            np.concatenate(
+                [np.zeros(32), np.ones(32), np.full(32, k),
+                 rng.integers(0, k + 1, 160)]
+            ).astype(np.int32)
+        )
+        kmers = unpack_rows3(dev.keys3, rows, k)
+        e_loop, l_loop = left_extend_device(dev.keys3, kmers, budgets, k)
+        e_tab, l_tab = ext_from_table(ew, el, rows, kmers, budgets, k)
+        l_loop, l_tab = np.asarray(l_loop), np.asarray(l_tab)
+        assert (l_loop == l_tab).all()
+        e_loop, e_tab = np.asarray(e_loop), np.asarray(e_tab)
+        # compare only the meaningful prefix (chars beyond ext_len+k are
+        # clip artifacts in both formulations but not guaranteed equal)
+        for i in range(rows.shape[0]):
+            m = int(l_loop[i])
+            assert (e_loop[i, :m] == e_tab[i, :m]).all(), i
+        assert (np.asarray(el) > 0).any(), "chains must exist on this input"
+
+
 def test_resolve_variants_probe_range_reduction_identity():
     # d_lo drops rk-vs-seq probe offsets whose MS values are bounded below
     # the peak threshold: the emitted patches must be identical to the
