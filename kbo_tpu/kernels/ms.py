@@ -443,15 +443,28 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
         )
     q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
     if ref_sorted and _use_pallas_merge():
-        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+        import os
 
         q_ops = _radix_sort(list(q_words) + [q_packed], W)
-        merged = bitonic_merge(
-            list(ref_words) + [ref_packed],
-            q_ops,
-            n_comps=W,
-            slice_output=False,  # pads carry packed 0xFFFFFFFF: non-source,
-        )  # sorted last in the back-sort
+        if os.environ.get("KBO_TPU_MERGE_PATH", "0") == "1":
+            # exact-size merge: the padded bitonic cascade processes up to
+            # 2x phantom elements (pow2 padding; the find shape pads 9.4M
+            # -> 16.8M) through every stage AND every downstream scan
+            from kbo_tpu.kernels.pallas_sort import merge_path
+
+            merged = merge_path(
+                list(ref_words) + [ref_packed], q_ops, n_comps=W
+            )  # tail pads carry 0xFFFFFFFF: non-source, dropped by the
+            # back-to-order step
+        else:
+            from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+            merged = bitonic_merge(
+                list(ref_words) + [ref_packed],
+                q_ops,
+                n_comps=W,
+                slice_output=False,  # pads carry packed 0xFFFFFFFF
+            )
         sw, spacked = merged[:W], merged[W]
     else:
         sw = [jnp.concatenate([ref_words[w], q_words[w]]) for w in range(W)]
@@ -745,18 +758,32 @@ def _intervals_from_keys(keys3, q_words, ms):
     )
     pmeta = jnp.concatenate([idx, idx + P])
     if _use_pallas_merge():
-        from kbo_tpu.kernels.pallas_sort import bitonic_merge
+        import os
 
         # stable LSD keeps floors before equal-keyed ceils, so the probe
-        # side is sorted by (keys, rank) as the merge comparator requires
-        p_ops = _radix_sort(pw + [prank, pmeta], W)
-        merged = bitonic_merge(
-            [keys3[w] for w in range(W)]
-            + [jnp.ones(n, jnp.int32), jnp.full((n,), _BIG, jnp.int32)],
-            p_ops,
-            n_comps=W + 1,
+        # side is sorted by (keys, rank) as the merge comparator requires.
+        # rank/meta ride as uint32 (all values non-negative, so the order
+        # matches int32); merge-path tail pads carry 0xFFFFFFFF -- rank
+        # pad != 1 never counts as a ref, meta pad clamps past 2P and
+        # drops in the back-to-order step
+        p_ops = _radix_sort(
+            pw + [prank.astype(jnp.uint32), pmeta.astype(jnp.uint32)], W
         )
-        smeta = merged[W + 1]
+        ref_ops = [keys3[w] for w in range(W)] + [
+            jnp.ones(n, jnp.uint32),
+            jnp.full((n,), _BIG, jnp.uint32),
+        ]
+        if os.environ.get("KBO_TPU_MERGE_PATH", "0") == "1":
+            from kbo_tpu.kernels.pallas_sort import merge_path
+
+            merged = merge_path(ref_ops, p_ops, n_comps=W + 1)
+        else:
+            from kbo_tpu.kernels.pallas_sort import bitonic_merge
+
+            merged = bitonic_merge(ref_ops, p_ops, n_comps=W + 1)
+        smeta = jnp.minimum(merged[W + 1], jnp.uint32(_BIG)).astype(
+            jnp.int32
+        )
         is_ref = (merged[W] == 1).astype(jnp.int32)
     else:
         words = [

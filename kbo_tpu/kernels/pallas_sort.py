@@ -203,6 +203,207 @@ def bitonic_merge(
     return merged
 
 
+# ------------------------------------------------------ merge-path merge
+
+
+def _lex_lt_at(ops_b, ops_a, bi, ai, n_comps, nb, na):
+    """Lexicographic B[bi] < A[ai] with clamped gathers (callers guarantee
+    in-range indices; the clip is defensive)."""
+    lt = jnp.zeros(bi.shape, dtype=jnp.bool_)
+    eq = jnp.ones(bi.shape, dtype=jnp.bool_)
+    for c in range(n_comps):
+        bv = ops_b[c][jnp.clip(bi, 0, nb - 1)]
+        av = ops_a[c][jnp.clip(ai, 0, na - 1)]
+        lt = lt | (eq & (bv < av))
+        eq = eq & (bv == av)
+    return lt
+
+
+def _merge_partition(ops_a, ops_b, n_comps, nt):
+    """Merge-path split points: a_off[i] = number of A elements among the
+    first i*BLOCK merged outputs (A wins ties). Binary search on the
+    monotone predicate B[t-a-1] < A[a]; by the bounds a in
+    [max(0, t-nb), min(t, na)) both probes are always in range."""
+    na = ops_a[0].shape[0]
+    nb = ops_b[0].shape[0]
+    t = jnp.arange(nt, dtype=jnp.int32) * jnp.int32(BLOCK)
+    lo = jnp.maximum(0, t - nb)
+    hi = jnp.minimum(t, na)
+
+    def body(lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        q = _lex_lt_at(ops_b, ops_a, t - mid - 1, mid, n_comps, nb, na)
+        act = lo < hi
+        hi = jnp.where(act & q, mid, hi)
+        lo = jnp.where(act & ~q, mid + 1, lo)
+        return lo, hi
+
+    lo, hi = jax.lax.while_loop(
+        lambda lh: jnp.any(lh[0] < lh[1]), body, (lo, hi)
+    )
+    return lo
+
+
+def _shift_flat(x, d, rows):
+    """y_flat[j] = x_flat[j + d] over a [rows, 128] tile, d in [0, 128)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    xr = pltpu.roll(x, (jnp.int32(128) - d) % jnp.int32(128), axis=1)
+    xr_next = pltpu.roll(xr, jnp.int32(rows - 1), axis=0)
+    return jnp.where(col < jnp.int32(128) - d, xr, xr_next)
+
+
+def _roll_stage_rows(ops, s, n_comps, rows):
+    """One ascending half-cleaner stage (element distance s, power of two)
+    over [rows, 128] operand tiles."""
+    if s >= _LANES:
+        sr = s // _LANES
+        row = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 0)
+        is_lo = (row & sr) == 0
+        down = [pltpu.roll(o, jnp.int32(rows - sr), axis=0) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops]
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 1)
+        is_lo = (col & s) == 0
+        down = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
+    other = [jnp.where(is_lo, d, u) for d, u in zip(down, up)]
+    gt_lo = _lex_gt(ops, other, n_comps)
+    lt_hi = _lex_gt(other, ops, n_comps)
+    take_other = (is_lo & gt_lo) | (~is_lo & lt_hi)
+    return [jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)]
+
+
+def _merge_path_kernel(n_comps, n_ops, aoff_ref, nb_ref, *refs):
+    a_refs = refs[:n_ops]
+    rb_refs = refs[n_ops : 2 * n_ops]
+    out_refs = refs[2 * n_ops : 3 * n_ops]
+    stage_a = refs[3 * n_ops : 4 * n_ops]
+    stage_b = refs[4 * n_ops : 5 * n_ops]
+    sems = refs[5 * n_ops]
+
+    i = pl.program_id(0)
+    t = i * jnp.int32(BLOCK)
+    a_lo = aoff_ref[i]
+    b_lo = t - a_lo
+    nb = nb_ref[0]
+    rb_lo = nb - b_lo  # start in the front-padded reversed-B stream
+    Rs = _R + 1
+
+    dmas = []
+    for j in range(n_ops):
+        dmas.append(
+            pltpu.make_async_copy(
+                a_refs[j].at[pl.ds(a_lo // 128, Rs), :],
+                stage_a[j],
+                sems.at[2 * j],
+            )
+        )
+        dmas.append(
+            pltpu.make_async_copy(
+                rb_refs[j].at[pl.ds(rb_lo // 128, Rs), :],
+                stage_b[j],
+                sems.at[2 * j + 1],
+            )
+        )
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+
+    da = a_lo % 128
+    db = rb_lo % 128
+    ops = []
+    for j in range(n_ops):
+        av = _shift_flat(stage_a[j][:, :], da, Rs)[:_R, :]
+        bv = _shift_flat(stage_b[j][:, :], db, Rs)[:_R, :]
+        ops.append(jnp.concatenate([av, bv], axis=0))
+    s = BLOCK
+    while s >= 1:
+        ops = _roll_stage_rows(ops, s, n_comps, 2 * _R)
+        s >>= 1
+    for j in range(n_ops):
+        out_refs[j][:, :] = ops[j][:_R, :]
+
+
+def _pad_row_stream(x, front: int, back: int):
+    """Pad a 1-D uint32 stream with all-ones front/back and reshape to
+    [rows, 128] (rows a multiple of the DMA row granule)."""
+    n = x.shape[0] + front + back
+    rows = -(-n // 128)
+    parts = []
+    if front:
+        parts.append(_pad_tops(x, front))
+    parts.append(x)
+    parts.append(_pad_tops(x, rows * 128 - n + back))
+    return jnp.concatenate(parts).reshape(rows, 128)
+
+
+def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
+    """Merge two sorted operand lists at EXACT size (no power-of-two
+    blow-up): output length = ceil((na+nb)/BLOCK)*BLOCK with all-ones
+    pads at the tail (they sort last and carry payload 0xFFFFFFFF, the
+    same convention as :func:`bitonic_merge`'s pads).
+
+    Each BLOCK-sized output tile depends on at most BLOCK consecutive
+    elements of each input (merge-path property), so the kernel DMAs two
+    contiguous slabs per tile (dynamic row offsets via scalar prefetch),
+    aligns them in VMEM with dynamic rolls, and runs the 2*BLOCK bitonic
+    half-cleaner cascade locally. Volume is read 2x + write 1x of the
+    real data -- the padded global cascade read/wrote up to 2x MORE
+    elements than exist (e.g. 9.4M pads to 16.8M) log-many times.
+    """
+    na = int(ops_a[0].shape[0])
+    nb = int(ops_b[0].shape[0])
+    total = na + nb
+    nt = -(-total // BLOCK)
+    M = nt * BLOCK
+    n_ops = len(ops_a)
+    for o in list(ops_a) + list(ops_b):
+        assert o.dtype == jnp.uint32, "merge_path operands must be uint32"
+
+    a_off = _merge_partition(ops_a, ops_b, n_comps, nt)
+    # A stream: tail pad so any window [a_lo, a_lo + BLOCK) reads +inf
+    # beyond na; an extra 128 covers the row-aligned overfetch
+    a2 = [_pad_row_stream(a, 0, BLOCK + 256) for a in ops_a]
+    # reversed-B stream, front-padded: window start nb - b_lo >= 0; the
+    # front pad covers b_lo + BLOCK > nb (reads +inf), tail slack covers
+    # row alignment. NOTE the reversed stream is DESCENDING with +inf
+    # front pads -- +inf sorts correctly at the descending head.
+    rb = [
+        _pad_row_stream(b[::-1], BLOCK, 256) for b in ops_b
+    ]
+    # rb window indexes are offset by the front pad
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * n_ops),
+        out_specs=tuple(
+            [
+                pl.BlockSpec(
+                    (_R, _LANES), lambda i, s0, s1: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * n_ops
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((_R + 1, _LANES), jnp.uint32)] * (2 * n_ops)
+            + [pltpu.SemaphoreType.DMA((2 * n_ops,))]
+        ),
+    )
+    out = pl.pallas_call(
+        lambda *refs: _merge_path_kernel(n_comps, n_ops, *refs),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((M // _LANES, _LANES), jnp.uint32)
+            for _ in range(n_ops)
+        ),
+        interpret=interpret,
+    )(a_off, jnp.asarray([nb], jnp.int32), *a2, *rb)
+    return [o.reshape(M) for o in out]
+
+
 def _exchange(ops, other, is_lo, dirb, n_comps):
     """Directed compare-exchange: ascending when dirb==0, descending when 1."""
     gt = _lex_gt(ops, other, n_comps)   # x > other

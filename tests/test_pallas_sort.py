@@ -61,3 +61,52 @@ def test_bitonic_sort_interpret(seed, n):
     assert sorted(zip(m[0], m[1], m[2])) == sorted(
         zip(w0[order], w1[order], pay[order])
     )
+
+
+@pytest.mark.parametrize(
+    "seed,na,nb",
+    [
+        (0, 200_000, 150_000),   # multi-tile, uneven
+        (1, 70_000, 10),         # tiny probe side
+        (2, 100, 70_000),        # tiny table side
+        (5, 40_000, 20_000),     # single tile below BLOCK
+        (6, 65_536, 65_536),     # exact tile multiples
+    ],
+)
+def test_merge_path_interpret(seed, na, nb):
+    from kbo_tpu.kernels.pallas_sort import BLOCK, merge_path
+
+    rng = np.random.default_rng(seed)
+
+    def mk_sorted(n):
+        w0 = rng.integers(0, 2**28, n).astype(np.int64).astype(np.uint32)
+        w1 = rng.integers(0, 2**30, n).astype(np.int64).astype(np.uint32)
+        pay = rng.integers(0, 2**31, n).astype(np.int64).astype(np.uint32)
+        order = np.lexsort((w1, w0))
+        return w0[order], w1[order], pay[order]
+
+    a0, a1, ap = mk_sorted(na)
+    b0, b1, bp = mk_sorted(nb)
+    out = merge_path(
+        [jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(ap)],
+        [jnp.asarray(b0), jnp.asarray(b1), jnp.asarray(bp)],
+        n_comps=2,
+        interpret=True,
+    )
+    m = [np.asarray(o) for o in out]
+    total = na + nb
+    nt = -(-total // BLOCK)
+    assert m[0].shape[0] == nt * BLOCK
+    c0 = np.concatenate([a0, b0])
+    c1 = np.concatenate([a1, b1])
+    cp = np.concatenate([ap, bp])
+    order = np.lexsort((c1, c0))
+    np.testing.assert_array_equal(m[0][:total], c0[order])
+    np.testing.assert_array_equal(m[1][:total], c1[order])
+    # payloads match as multisets within equal-key groups (the in-tile
+    # network is not stable)
+    assert sorted(zip(m[0][:total], m[1][:total], m[2][:total])) == sorted(
+        zip(c0[order], c1[order], cp[order])
+    )
+    # tail pads are all-ones
+    assert (m[0][total:] == np.uint32(0xFFFFFFFF)).all()

@@ -45,6 +45,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    if os.environ.get("KBO_MB_ONLY_MERGE", "0") == "1":
+        _merge_section(rng, timeit, jax, jnp)
+        return
+
     # ---- 1. back-sort vs scatter at M = 8M (the merged width at 4.6M)
     M = 1 << 23
     # merged order: sort_key = buffer position for query slots, M for refs
@@ -195,14 +199,16 @@ def main():
     print(f"gather S={S}: chars(51) {t_gc*1e3:.1f}ms words(6) {t_gw*1e3:.1f}ms",
           flush=True)
 
-    # ---- 4. bitonic merge (pow2 padding) vs concat+radix at bad ratios
-    # find shape: table 4.7M + probes 4.72M -> merge pads to 16.8M (+78%);
-    # resolve shape: 4.65M + 0.24M -> pads to 8.4M (+71%)
+    _merge_section(rng, timeit, jax, jnp)
+
+
+def _merge_section(rng, timeit, jax, jnp):
+    # ---- 4. merge strategies: pow2-padded bitonic vs exact merge-path
+    # vs concat+radix. find shape pads 9.4M -> 16.8M (+78%) under bitonic.
     from kbo_tpu.kernels.ms import _radix_sort
-    from kbo_tpu.kernels.pallas_sort import bitonic_merge
+    from kbo_tpu.kernels.pallas_sort import bitonic_merge, merge_path
 
     for name, n_t, n_p, Wm in (("find2bit", 4_700_000, 4_718_592, 4),
-                               ("resolve", 4_650_000, 245_760, 6),
                                ("sweepchunk", 4_700_000, 2_409_472, 6)):
         t_words = [jnp.asarray(np.sort(
             rng.integers(0, 2**30, n_t).astype(np.uint32)))] + [
@@ -225,16 +231,33 @@ def main():
             return merged[Wm]
 
         @jax.jit
+        def via_mpath(tw0, tp, pw0, pp):
+            tw = list(tw0)
+            pw = list(pw0)
+            p_ops = _radix_sort(pw + [pp], Wm)
+            merged = merge_path(tw + [tp], p_ops, n_comps=Wm)
+            return merged[Wm]
+
+        @jax.jit
         def via_radix(tw0, tp, pw0, pp):
             sw = [jnp.concatenate([a, b]) for a, b in zip(tw0, pw0)]
             spay = jnp.concatenate([tp, pp])
             ops = _radix_sort(sw + [spay], Wm)
             return ops[Wm]
 
+        tp2 = timeit(via_mpath, tuple(t_words), t_pay, tuple(p_words), p_pay)
         tm = timeit(via_merge, tuple(t_words), t_pay, tuple(p_words), p_pay)
         tr = timeit(via_radix, tuple(t_words), t_pay, tuple(p_words), p_pay)
-        print(f"merge-vs-radix {name} ({n_t/1e6:.1f}M+{n_p/1e6:.2f}M, W={Wm}): "
-              f"merge {tm*1e3:.1f}ms radix {tr*1e3:.1f}ms", flush=True)
+        a = np.sort(np.asarray(
+            via_merge(tuple(t_words), t_pay, tuple(p_words), p_pay)
+        )[: n_t + n_p])
+        b = np.sort(np.asarray(
+            via_mpath(tuple(t_words), t_pay, tuple(p_words), p_pay)
+        )[: n_t + n_p])
+        print(f"merge {name} ({n_t/1e6:.1f}M+{n_p/1e6:.2f}M, W={Wm}): "
+              f"bitonic {tm*1e3:.1f}ms mpath {tp2*1e3:.1f}ms "
+              f"radix {tr*1e3:.1f}ms payloads_equal={np.array_equal(a, b)}",
+              flush=True)
 
 
 if __name__ == "__main__":
