@@ -365,7 +365,7 @@ def devref_core(
     keys3, codes, ref_mat, lengths, ms, uniq, rows, threshold,
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
     do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
-    w_grid: int | None = None,
+    w_grid: int | None = None, ext_tab=None,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -403,7 +403,7 @@ def devref_core(
         gpos, gpv, needs_host, gap_counters = score_gaps_core(
             keys3, ref_mat, lengths, pieces["gap_start"],
             pieces["gap_end_at"], pieces["grid"], threshold,
-            k, cap_g, cap_ext,
+            k, cap_g, cap_ext, ext_tab=ext_tab,
         )
         pos_grids.append(gpos)
         pv_grids.append(gpv)
@@ -477,26 +477,38 @@ def _data_stage1_impl(k3, l3, co, kk: int, mesh):
     return fn(k3, l3, co)
 
 
-def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, kk: int, cd: int,
-                      cg: int, ce: int, cr: int, dg: bool, dv: bool,
-                      fm: bool, mesh, dl: int = 0, wg: int | None = None):
+def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, ew, el, kk: int,
+                      cd: int, cg: int, ce: int, cr: int, dg: bool,
+                      dv: bool, fm: bool, mesh, dl: int = 0,
+                      wg: int | None = None):
     import jax
     from jax.sharding import PartitionSpec as P
 
-    fn = jax.shard_map(
-        lambda k3s, cos, rms, les, ms_, us, rs_, ths: devref_core(
+    has_ext = ew is not None
+
+    def shardfn(k3s, cos, rms, les, ms_, us, rs_, ths, *ext):
+        return devref_core(
             k3s, cos, rms, les, ms_, us, rs_, ths,
             kk, cd, cg, ce, cr, dg, dv, fm, d_lo=dl, w_grid=wg,
-        ),
+            ext_tab=(ext if has_ext else None),
+        )
+
+    in_specs = [
+        P(), P("data"), P("data"), P("data"),
+        P("data"), P("data"), P("data"), P(),
+    ]
+    args = [k3, co, rm, le, m_, u_, r_, th]
+    if has_ext:
+        in_specs += [P(), P()]
+        args += [ew, el]
+    fn = jax.shard_map(
+        shardfn,
         mesh=mesh,
-        in_specs=(
-            P(), P("data"), P("data"), P("data"),
-            P("data"), P("data"), P("data"), P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("data"), P("data")),
         check_vma=False,
     )
-    return fn(k3, co, rm, le, m_, u_, r_, th)
+    return fn(*args)
 
 
 _data_stage1 = None
@@ -580,9 +592,17 @@ def map_devref_data_sharded(
         cap_r = _pow2_cap(int(q_per * (L // 512) + cap_g * 2 + 256))
 
         # per-shard delta blocks stack on a leading shard axis
+        from kbo_tpu.kernels.refine import get_ext_table
+
+        ext_tab = get_ext_table(dev) if opts.fill_gaps else None
+        ew = el = None
+        if ext_tab is not None:
+            ew = jax.device_put(ext_tab[0], repl)
+            el = jax.device_put(ext_tab[1], repl)
         delta4, needs_host = _stage2(
             keys3, codes_d, ref_d, len_d, ms_d, uniq_d, rows_d,
-            jnp.int32(threshold), kk=k, cd=cap_d, cg=cap_g, ce=cap_ext,
+            jnp.int32(threshold), ew, el,
+            kk=k, cd=cap_d, cg=cap_g, ce=cap_ext,
             cr=cap_r, dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), mesh=mesh,
             dl=max(int(threshold) - 1, 0),
