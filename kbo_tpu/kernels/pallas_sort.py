@@ -283,27 +283,31 @@ def _merge_path_kernel(n_comps, n_ops, aoff_ref, nb_ref, *refs):
     sems = refs[5 * n_ops]
 
     i = pl.program_id(0)
+    # all scalar arithmetic in explicit int32: bare Python ints trace as
+    # weak i64 under jax_enable_x64 and Mosaic cannot lower the i64
+    # converts (see pallas_join._clz32)
+    c128 = jnp.int32(128)
     t = i * jnp.int32(BLOCK)
     a_lo = aoff_ref[i]
     b_lo = t - a_lo
     nb = nb_ref[0]
     rb_lo = nb - b_lo  # start in the front-padded reversed-B stream
-    Rs = _R + 1
+    Rs = _R + 8  # sublane-aligned staging (rolls need 8-row multiples)
 
     dmas = []
     for j in range(n_ops):
         dmas.append(
             pltpu.make_async_copy(
-                a_refs[j].at[pl.ds(a_lo // 128, Rs), :],
+                a_refs[j].at[pl.ds(a_lo // c128, Rs), :],
                 stage_a[j],
-                sems.at[2 * j],
+                sems.at[jnp.int32(2 * j)],
             )
         )
         dmas.append(
             pltpu.make_async_copy(
-                rb_refs[j].at[pl.ds(rb_lo // 128, Rs), :],
+                rb_refs[j].at[pl.ds(rb_lo // c128, Rs), :],
                 stage_b[j],
-                sems.at[2 * j + 1],
+                sems.at[jnp.int32(2 * j + 1)],
             )
         )
     for d in dmas:
@@ -311,8 +315,8 @@ def _merge_path_kernel(n_comps, n_ops, aoff_ref, nb_ref, *refs):
     for d in dmas:
         d.wait()
 
-    da = a_lo % 128
-    db = rb_lo % 128
+    da = a_lo % c128
+    db = rb_lo % c128
     ops = []
     for j in range(n_ops):
         av = _shift_flat(stage_a[j][:, :], da, Rs)[:_R, :]
@@ -365,13 +369,13 @@ def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
     a_off = _merge_partition(ops_a, ops_b, n_comps, nt)
     # A stream: tail pad so any window [a_lo, a_lo + BLOCK) reads +inf
     # beyond na; an extra 128 covers the row-aligned overfetch
-    a2 = [_pad_row_stream(a, 0, BLOCK + 256) for a in ops_a]
+    a2 = [_pad_row_stream(a, 0, BLOCK + 2048) for a in ops_a]
     # reversed-B stream, front-padded: window start nb - b_lo >= 0; the
     # front pad covers b_lo + BLOCK > nb (reads +inf), tail slack covers
     # row alignment. NOTE the reversed stream is DESCENDING with +inf
     # front pads -- +inf sorts correctly at the descending head.
     rb = [
-        _pad_row_stream(b[::-1], BLOCK, 256) for b in ops_b
+        _pad_row_stream(b[::-1], BLOCK, 2048) for b in ops_b
     ]
     # rb window indexes are offset by the front pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -381,14 +385,14 @@ def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
         out_specs=tuple(
             [
                 pl.BlockSpec(
-                    (_R, _LANES), lambda i, s0, s1: (i, 0),
+                    (_R, _LANES), lambda i, s0, s1: (i, jnp.int32(0)),
                     memory_space=pltpu.VMEM,
                 )
             ]
             * n_ops
         ),
         scratch_shapes=(
-            [pltpu.VMEM((_R + 1, _LANES), jnp.uint32)] * (2 * n_ops)
+            [pltpu.VMEM((_R + 8, _LANES), jnp.uint32)] * (2 * n_ops)
             + [pltpu.SemaphoreType.DMA((2 * n_ops,))]
         ),
     )

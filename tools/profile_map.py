@@ -178,13 +178,23 @@ def main():
     )
     vpos, vpv, n_var = rv
 
+    # stage 5a: extension-chain table (one-time per index; cached)
+    from kbo_tpu.kernels.refine import get_ext_table
+
+    t0 = time.time()
+    ext_tab = get_ext_table(dev)
+    if ext_tab is not None:
+        _ = int(jnp.sum(ext_tab[1][::4096]))
+        print(f"# ext_table build (one-time): {time.time()-t0-rtt:.3f}s",
+              flush=True)
+
     # stage 5: score_gaps
     sg = timestage(
         "score_gaps",
         lambda: score_gaps(
             dev.keys3, ref_mat_dev, lengths_dev, pieces["gap_start"],
             pieces["gap_end_at"], pieces["grid"], thr, k=k,
-            cap_ge=cap_g, cap_ext=cap_ext,
+            cap_ge=cap_g, cap_ext=cap_ext, ext_tab=ext_tab,
         ),
         lambda o: sync_u32(o[0][:, :1]) + int(o[3][0]),
     )
