@@ -89,15 +89,21 @@ def pack_windows_2bit(buf, k: int):
     idx = jnp.arange(T, dtype=jnp.int32)
     last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
     limit = jnp.minimum(jnp.int32(k), idx - last_bad)
-    words = []
-    for w in range(w2_for_k(k)):
-        acc = jnp.zeros(T, dtype=jnp.uint32)
-        for j in range(16):
-            t = w * 16 + j
-            if t >= k:
-                break
-            acc = acc | (_shift_up_const(c, t, 0) << (30 - 2 * j))
-        words.append(acc)
+    # word w is word 0 shifted 16w positions (chunk at distance 16w+j of
+    # position p = chunk at distance j of position p-16w), so the packing
+    # pays 16 shift-or passes + one shift per extra word instead of k
+    # passes; the last word masks chunks at distances >= k to stay
+    # bit-identical with the per-chunk formulation
+    w0 = jnp.zeros(T, dtype=jnp.uint32)
+    for j in range(min(16, k)):
+        w0 = w0 | (_shift_up_const(c, j, 0) << (30 - 2 * j))
+    words = [w0]
+    for w in range(1, w2_for_k(k)):
+        words.append(_shift_up_const(w0, 16 * w, jnp.uint32(0)))
+    jmax = (k - 1) % 16
+    if k % 16 and w2_for_k(k) >= 1:
+        keep = jnp.uint32(0xFFFFFFFF) << jnp.uint32(30 - 2 * jmax)
+        words[-1] = words[-1] & keep
     return words, limit
 
 
@@ -111,15 +117,22 @@ def pack_windows_3bit(buf, k: int, pad_chunk: int = 7):
     T = buf.shape[0]
     valid = (buf >= 1) & (buf <= 4)
     c = jnp.where(valid, buf.astype(jnp.uint32), jnp.uint32(pad_chunk))
-    words = []
-    for w in range(w3_for_k(k)):
-        acc = jnp.zeros(T, dtype=jnp.uint32)
-        for j in range(10):
-            t = w * 10 + j
-            if t >= k:
-                break
-            acc = acc | (_shift_up_const(c, t, pad_chunk) << (27 - 3 * j))
-        words.append(acc)
+    # word w = word 0 shifted 10w positions (see pack_windows_2bit);
+    # before-start positions read an all-pad word, and the last word
+    # masks distances >= k -- bit-identical to the per-chunk formulation
+    w0 = jnp.zeros(T, dtype=jnp.uint32)
+    for j in range(min(10, k)):
+        w0 = w0 | (_shift_up_const(c, j, pad_chunk) << (27 - 3 * j))
+    padw = jnp.uint32(pad_chunk * 0o1111111111)
+    words = [w0]
+    for w in range(1, w3_for_k(k)):
+        words.append(_shift_up_const(w0, 10 * w, padw))
+    jmax = (k - 1) % 10
+    if k % 10:
+        keep = (
+            jnp.uint32(0xFFFFFFFF) << jnp.uint32(27 - 3 * jmax)
+        ) & jnp.uint32(0x3FFFFFFF)
+        words[-1] = words[-1] & keep
     return words
 
 
