@@ -54,8 +54,33 @@ def _device_reachable(timeout_s: int = 90) -> bool:
         return False
 
 
+def _wait_for_device() -> bool:
+    """Probe repeatedly before giving up: the axon relay flaps in ~25-min
+    up/down windows (observed 2026-08-19), so a single 90s probe at a bad
+    moment would record a CPU-fallback number even though a TPU window
+    opens minutes later. KBO_BENCH_PROBE_WAIT bounds the wait (seconds)."""
+    deadline = time.time() + float(
+        os.environ.get("KBO_BENCH_PROBE_WAIT", "900")
+    )
+    first = True
+    while True:
+        if _device_reachable():
+            return True
+        if time.time() > deadline:
+            return False
+        if first:
+            print(
+                "# TPU relay unreachable; waiting for a relay window "
+                "(KBO_BENCH_PROBE_WAIT)",
+                file=sys.stderr,
+                flush=True,
+            )
+            first = False
+        time.sleep(45)
+
+
 def main():
-    if os.environ.get("KBO_BENCH_NO_PROBE", "0") != "1" and not _device_reachable():
+    if os.environ.get("KBO_BENCH_NO_PROBE", "0") != "1" and not _wait_for_device():
         if os.environ.get("PALLAS_AXON_POOL_IPS"):
             print(
                 "# WARNING: TPU relay unreachable within 90s -- "
