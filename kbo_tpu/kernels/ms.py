@@ -459,7 +459,7 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
         import os
 
         q_ops = _radix_sort(list(q_words) + [q_packed], W)
-        if os.environ.get("KBO_TPU_MERGE_PATH", "0") == "1":
+        if os.environ.get("KBO_TPU_MERGE_PATH", "1") != "0":
             # exact-size merge: the padded bitonic cascade processes up to
             # 2x phantom elements (pow2 padding; the find shape pads 9.4M
             # -> 16.8M) through every stage AND every downstream scan
@@ -786,7 +786,7 @@ def _intervals_from_keys(keys3, q_words, ms):
             jnp.ones(n, jnp.uint32),
             jnp.full((n,), _BIG, jnp.uint32),
         ]
-        if os.environ.get("KBO_TPU_MERGE_PATH", "0") == "1":
+        if os.environ.get("KBO_TPU_MERGE_PATH", "1") != "0":
             from kbo_tpu.kernels.pallas_sort import merge_path
 
             merged = merge_path(ref_ops, p_ops, n_comps=W + 1)
