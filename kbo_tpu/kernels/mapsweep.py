@@ -61,23 +61,34 @@ def pack_ascii_host(ref_mat, lengths):
     Q, L = ref_mat.shape
     if L % 4:
         return None
-    lut2 = np.zeros(256, dtype=np.uint8)
+    # one fused LUT pass: low 2 bits = base code, bit 7 = "not uppercase
+    # ACGT" (a byte that must ride the exception list if in-length)
+    lut = np.full(256, 0x80, dtype=np.uint8)
     for c2, chars in enumerate((b"Aa", b"Cc", b"Gg", b"Tt")):
         for ch in chars:
-            lut2[ch] = c2
-    u2 = lut2[ref_mat]
-    packed4 = (
-        u2[:, 0::4]
-        | (u2[:, 1::4] << 2)
-        | (u2[:, 2::4] << 4)
-        | (u2[:, 3::4] << 6)
+            lut[ch] = c2 | (0x80 if ch >= ord("a") else 0)
+    lc = np.ascontiguousarray(lut[ref_mat])
+    # word-parallel pack: a little-endian uint32 view holds 4 base codes
+    # in its bytes; OR-ing the word with itself shifted by 6/12/18 lands
+    # code i at bits 2i..2i+1 with no cross-terms (codes < 4 after the
+    # flag mask), so the byte mask IS the packed nibble-pair -- one pass
+    # instead of four strided slice reads. The in-length mask is NOT
+    # materialized (an int64 broadcast compare measured 48 ms at 4.6M):
+    # bad positions are filtered against row lengths after the (cheap)
+    # flatnonzero, since tails and exceptions are both sparse
+    v = lc.reshape(Q, L // 4, 4).view(np.uint32)[..., 0] & np.uint32(
+        0x03030303
+    )  # drop the flag bits before packing
+    packed4 = ((v | (v >> 6) | (v >> 12) | (v >> 18)) & 0xFF).astype(
+        np.uint8
     )
-    recon = np.frombuffer(b"ACGT", dtype=np.uint8)[u2]
-    in_len = np.arange(L, dtype=np.int64)[None, :] < np.asarray(lengths)[
-        : Q, None
-    ]
-    exc = (ref_mat != recon) & in_len
-    exc_pos = np.flatnonzero(exc)
+    bad_pos = np.flatnonzero(lc & 0x80)
+    if bad_pos.size:
+        lens = np.asarray(lengths)[:Q].astype(np.int64)
+        q = bad_pos // L
+        exc_pos = bad_pos[(bad_pos - q * L) < lens[q]]
+    else:
+        exc_pos = bad_pos
     if exc_pos.size > max(64, Q * L // 16):
         return None
     cap_e = 64
