@@ -208,11 +208,13 @@ def map_devref_finish(
         pos_grids.append(vpos)
         pv_grids.append(vpv)
 
-    # Optimistic run budget: ~1 delta run per variant site (L/512 slots
-    # cover 1-per-kb densities with margin) + gap-run slack + flanks; an
-    # underestimate pays one exactly-sized re-assembly below. The
-    # assembler emits run arrays already capped (scatter compaction).
-    cap_r = _pow2_cap(int(L // 512 + total_gap_slack + 256))
+    # Optimistic run budget: ~1 delta run per variant site (L/1024 slots
+    # cover the measured ~0.8/kb density with margin) + a quarter of the
+    # gap slack + flanks; an underestimate pays one exactly-sized
+    # re-assembly below, while an oversized budget pays relay downlink on
+    # the ONE steady-state fetch (4 int32 rows x cap_r: 32k slots = 512 KB
+    # ~= 40 ms through the relay vs 3.5k real runs at the benchmark).
+    cap_r = _pow2_cap(int(L // 1024 + total_gap_slack // 4 + 256))
     counts2_dev, rs_dev, re_dev, rv_dev = assemble_map_prio(
         chars_dev, ref_mat_dev, lengths_dev, pos_grids, pv_grids,
         bool(opts.format), cap_r,
