@@ -589,9 +589,17 @@ def map_devref_data_sharded(
     cap_d = _pow2_cap(L // 1024)
     cap_g = _pow2_cap(L // 1536, lo=256)
     q_per = Q // nd
+    cap_r_floor = 0
     for _attempt in range(3):
         cap_ext = _pow2_cap(max(4 * cap_g, 32 * q_per), lo=256)
-        cap_r = _pow2_cap(int(q_per * (L // 512) + cap_g * 2 + 256))
+        # same measured-density budget as the single-device fetch (the
+        # gathered [nd, 4, cap_r] block is the path's one bulk transfer);
+        # a run overflow retries with the observed count instead of
+        # degrading to the classic path
+        cap_r = max(
+            _pow2_cap(int(q_per * (L // 1024) + cap_g // 2 + 256)),
+            cap_r_floor,
+        )
 
         # per-shard delta blocks stack on a leading shard axis
         from kbo_tpu.kernels.refine import get_ext_table
@@ -620,12 +628,10 @@ def map_devref_data_sharded(
             continue
         if need_host > 0:
             return None  # degrade to the classic mesh path
-        overflow = False
-        for s in range(nd):
-            if int(blocks[s, 3, 0]) > cap_r:
-                overflow = True
-        if overflow:
-            return None
+        max_runs = int(blocks[:, 3, 0].max())
+        if max_runs > cap_r:
+            cap_r_floor = _pow2_cap(max_runs)
+            continue
         break
     else:
         return None
