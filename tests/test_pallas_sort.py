@@ -110,3 +110,36 @@ def test_merge_path_interpret(seed, na, nb):
     )
     # tail pads are all-ones
     assert (m[0][total:] == np.uint32(0xFFFFFFFF)).all()
+
+
+def test_merge_path_interpret_production_shape():
+    # the rows-join shape: 6 comparison words + 1 packed payload
+    from kbo_tpu.kernels.pallas_sort import merge_path
+
+    rng = np.random.default_rng(9)
+
+    def mk_sorted(n):
+        ws = [rng.integers(0, 2**30, n).astype(np.int64).astype(np.uint32)
+              for _ in range(6)]
+        pay = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        order = np.lexsort(tuple(ws[::-1]))
+        return [w[order] for w in ws], pay[order]
+
+    aw, ap = mk_sorted(100_000)
+    bw, bp = mk_sorted(30_000)
+    out = merge_path(
+        [jnp.asarray(w) for w in aw] + [jnp.asarray(ap)],
+        [jnp.asarray(w) for w in bw] + [jnp.asarray(bp)],
+        n_comps=6,
+        interpret=True,
+    )
+    m = [np.asarray(o) for o in out]
+    tot = 130_000
+    cs = [np.concatenate([a, b]) for a, b in zip(aw, bw)]
+    cp = np.concatenate([ap, bp])
+    order = np.lexsort(tuple(cs[::-1]))
+    for w in range(6):
+        np.testing.assert_array_equal(m[w][:tot], cs[w][order])
+    assert sorted(zip(*[m[w][:tot] for w in range(6)], m[6][:tot])) == sorted(
+        zip(*[c[order] for c in cs], cp[order])
+    )
