@@ -119,6 +119,15 @@ def find_batch(
 
             chars_list = matches_batch_seq(sbwt, code_list, threshold)
         elif mesh is not None:
+            if opts.max_gap_len == 0:
+                # segments extract ON DEVICE per shard; only the compact
+                # [Q, 1+5*cap] table crosses the host link (the full
+                # [Q, L] chars gather was the scaling path's bottleneck)
+                from kbo_tpu.parallel.mesh import find_rle_batch_sharded
+
+                return find_rle_batch_sharded(
+                    sbwt, code_list, threshold, mesh=mesh
+                )
             from kbo_tpu.parallel.mesh import matches_batch_sharded
 
             chars_list = matches_batch_sharded(

@@ -106,6 +106,70 @@ def matches_batch_sharded(
     return [chars[i, : c.size] for i, c in enumerate(code_list)]
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "mesh"))
+def _sharded_rle(chars, lengths, cap: int, mesh):
+    from kbo_tpu.kernels.postprocess import rle_segments_core
+
+    fn = jax.shard_map(
+        lambda c, le: rle_segments_core(c, le, cap),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(chars, lengths)
+
+
+def find_rle_batch_sharded(
+    index: SbwtIndex,
+    code_list: list[np.ndarray],
+    threshold: int,
+    mesh: Mesh | None = None,
+):
+    """Data-parallel batched find with DEVICE RLE extraction: the sharded
+    matches pipeline's [Q, L] chars stay on their devices and a per-shard
+    segmentation kernel (kernels.postprocess.rle_segments_core) reduces
+    them to a [Q, 1 + 5*cap] int32 table -- the only thing fetched.
+
+    This unbottlenecks the serving/scaling path from the host link: the
+    replicated-path equivalent (pipeline.find_rle_batch) measured the full
+    chars download at ~2 MB/call through the relay vs ~10 KB for the
+    segment table (BASELINE.md round-3 scaling captures).
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    codes, lengths = pad_batch(code_list, bucket=True)
+    Q, L = codes.shape
+    Qp = ((Q + n - 1) // n) * n
+    if Qp != Q:
+        codes = np.pad(codes, ((0, Qp - Q), (0, 0)), constant_values=INVALID)
+        lengths = np.pad(lengths, (0, Qp - Q))
+
+    from kbo_tpu.engine import device_index
+    from kbo_tpu.pipeline import _bucket, _rle_structs
+
+    dev = device_index(index)
+    chars, _ms = _sharded_matches(
+        put_global(mesh, P(), dev.keys2),
+        put_global(mesh, P(), dev.cap2),
+        put_global(mesh, P("data"), codes),
+        put_global(mesh, P("data"), lengths),
+        dev.k,
+        jnp.int32(threshold),
+        mesh,
+    )
+    lengths_dev = put_global(mesh, P("data"), lengths)
+    cap = _bucket(max(64, min(L // 64 + 1, 1024)), lo=64)
+    while True:
+        from kbo_tpu.parallel.distributed import gather_to_host
+
+        packed = gather_to_host(_sharded_rle(chars, lengths_dev, cap, mesh))
+        out = _rle_structs(packed, cap, code_list)
+        if out is not None:
+            return out
+        cap = min(cap * 4, (L + 1) // 2 + 1)
+
+
 def matches_long_sharded(
     index: SbwtIndex,
     codes: np.ndarray,

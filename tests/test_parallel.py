@@ -174,3 +174,35 @@ def test_long_sharded_trailing_shard_past_end():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK32" in proc.stdout
+
+
+def test_find_rle_sharded_parity():
+    """Device-RLE find over a mesh (api.find_batch's mesh serving path):
+    the sharded segment tables must reproduce the single-device
+    find_rle_batch structs exactly -- including queries torn by gaps."""
+    from kbo_tpu import api
+    from kbo_tpu.opts import FindOpts
+    from kbo_tpu.parallel.mesh import find_rle_batch_sharded
+    from kbo_tpu.pipeline import find_rle_batch
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(11)
+    ref = BASES[rng.integers(0, 4, 2500)].tobytes()
+    sbwt = build([ref], BuildOpts(k=21))
+    t = random_match_threshold(21, sbwt.n_kmers, 4, 1e-7)
+    queries = _mk_queries(rng, ref, 11)
+    # one query with an unrelated insert so at least one row has >1 segment
+    torn = bytearray(ref[100:400])
+    torn[120:180] = BASES[rng.integers(0, 4, 60)].tobytes()
+    queries.append(encode_ascii(bytes(torn)))
+
+    single = find_rle_batch(sbwt, queries, t)
+    mesh8 = make_mesh(8)
+    sharded = find_rle_batch_sharded(sbwt, queries, t, mesh=mesh8)
+    assert single == sharded
+    assert any(len(r) > 1 for r in single)
+
+    # and the api wiring: find_batch(mesh=...) takes this path
+    raw = BASES[queries[0] - 1].tobytes()  # decode codes -> ASCII
+    via_api = api.find_batch([raw], sbwt, FindOpts(), mesh=mesh8)
+    assert via_api[0] == single[0]
