@@ -103,6 +103,50 @@ def main():
     base = rows[0]["queries_per_s"]
     for r in rows:
         r["efficiency"] = round(r["queries_per_s"] / (base * r["devices"]), 3)
+
+    # single-genome map scaling: ONE pair position-sharded over the mesh
+    # (parallel/mesh.py map_seq_sharded) -- the flagship `kbo map`
+    # workload (reference src/lib.rs:720-761) on N devices. Sized down
+    # from the 4.6M benchmark so the virtual-CPU run stays affordable;
+    # KBO_SCALE_MAPN overrides.
+    from kbo_tpu import BuildOpts as _BO, MapOpts
+    from kbo_tpu.parallel.mesh import map_seq_sharded
+
+    mapn = int(float(os.environ.get("KBO_SCALE_MAPN", min(n, 500_000))))
+    mk = int(os.environ.get("KBO_SCALE_MAPK", 51))
+    bo = _BO(k=mk, build_select=True)
+    mg = bytearray(genome[:mapn])
+    for p in range(500, mapn - 500, 1000):
+        mg[p] = bases[rng.integers(0, 4)]
+    map_ref = genome[:mapn]
+    map_idx = build([bytes(mg)], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    map_rows = []
+    for s in sizes:
+        mesh = make_mesh(s)
+        out = map_seq_sharded([map_ref], map_idx, mo, mesh=mesh)  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = map_seq_sharded([map_ref], map_idx, mo, mesh=mesh)
+            best = min(best, time.perf_counter() - t0)
+        assert len(out) == 1 and len(out[0]) == mapn
+        map_rows.append({
+            "devices": s,
+            "mbases_per_s": round(mapn / best / 1e6, 2),
+        })
+        print(
+            f"# map 1x{mapn/1e6:.1f}M on {s} device(s): {best*1e3:.1f} ms"
+            f" -> {mapn / best / 1e6:.2f} Mbases/s",
+            file=sys.stderr, flush=True,
+        )
+    mbase = map_rows[0]["mbases_per_s"]
+    for r in map_rows:
+        r["efficiency"] = round(
+            r["mbases_per_s"] / (mbase * r["devices"]), 3
+        )
+
     print(json.dumps({
         "metric": (
             f"batched find (device RLE) queries/s ({qn}x{ql}, k={k}, "
@@ -111,6 +155,11 @@ def main():
         "value": rows[-1]["queries_per_s"],
         "unit": "queries/s",
         "scaling": rows,
+        "single_genome_map": {
+            "workload": f"map 1x{mapn/1e6:.1f}M pair, k={mk}, "
+                        "sequence-sharded over the data mesh",
+            "scaling": map_rows,
+        },
     }))
 
 

@@ -454,6 +454,33 @@ def _map_batch_sparse(
     if (
         mesh is not None
         and "data" in mesh.axis_names
+        and Q0 < mesh.devices.size
+        and os.environ.get("KBO_TPU_MAP_SEQSH", "1") != "0"
+        and not (opts.call_variants and opts.sbwt_build_opts.add_revcomp)
+        and k < 128
+    ):
+        # fewer contigs than devices: contig-granular data parallelism
+        # cannot fill the mesh (the flagship workload is ONE multi-Mb
+        # pair), so the SEQUENCE position-shards over the data axis
+        from kbo_tpu.kernels.refine import max_tag
+        from kbo_tpu.parallel.mesh import map_seq_sharded
+
+        nd = mesh.devices.size
+        chunk = -(-L // nd)
+        table_w = int(dev.keys3.shape[1])
+        if (
+            chunk >= max(k, 256)
+            and Q0 <= max_tag(k)
+            and table_w + Q0 * (chunk + 2 * (k - 1)) < (1 << 24) - 1
+        ):
+            return map_seq_sharded(
+                ref_seqs, query_sbwt, opts, mesh=mesh,
+                code_list=get_code_list(),
+            )
+
+    if (
+        mesh is not None
+        and "data" in mesh.axis_names
         and os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
         and not (opts.call_variants and opts.sbwt_build_opts.add_revcomp)
         and k < 128

@@ -38,11 +38,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kbo_tpu.kernels.ms import INVALID, ms2_core
 from kbo_tpu.kernels.postprocess import derandomize_core, translate_core
 
-_BIG32 = jnp.int32(2**31 - 1)
+# numpy on purpose: a module-level jnp scalar is a COMMITTED device array
+# that every capturing jit lifts as a hidden executable parameter -- mixing
+# those executables with mesh-placed inputs hit an XLA buffer-count
+# mismatch ("supplied 7 buffers but compiled program expected 8"). A numpy
+# scalar inlines into the HLO as a literal.
+_BIG32 = np.int32(2**31 - 1)
 _M, _X, _DASH = ord("M"), ord("X"), ord("-")
 
 

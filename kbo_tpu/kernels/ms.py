@@ -1153,7 +1153,7 @@ def ms3_values_vs_sorted_seq_core(ref_words, codes, k: int):
 # --------------------------------------------- device-built FULL index
 
 
-_SENT = jnp.uint32(0xFFFFFFFF)
+_SENT = np.uint32(0xFFFFFFFF)  # numpy: module-level jnp consts get lifted as executable params
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kbo_tpu.kernels.ms import (
     INVALID,
@@ -56,16 +57,26 @@ from kbo_tpu.kernels.ms import (
     w3_for_k,
 )
 
-_BIG32 = jnp.int32(2**31 - 1)
-_OOB = jnp.uint8(254)  # never equals any reference byte
+# numpy on purpose: module-level jnp scalars/arrays are COMMITTED device
+# arrays that capturing jits lift as hidden executable parameters (an XLA
+# buffer-count mismatch surfaced when such executables mixed with
+# mesh-placed inputs; kernels/mapsweep.py has the incident note). numpy
+# constants inline into the HLO as literals.
+_BIG32 = np.int32(2**31 - 1)
+_OOB = np.uint8(254)  # never equals any reference byte
 
 # chunk value (0..7) -> ASCII; 0 is '$', 5/6/7 are never real row content
 # (build pads are 0; sentinel rows are masked upstream) -- map them to 0,
 # which never equals a reference byte either
-_CHUNK_ASCII = jnp.asarray(
+_CHUNK_ASCII = np.asarray(
     [ord("$"), ord("A"), ord("C"), ord("G"), ord("T"), 0, 0, 0],
-    dtype=jnp.uint8,
+    dtype=np.uint8,
 )
+
+
+def _chunk_ascii(x):
+    """LUT gather chunk code -> ASCII (the numpy table inlines per trace)."""
+    return jnp.asarray(_CHUNK_ASCII)[x]
 
 
 def max_tag(k: int) -> int:
@@ -600,6 +611,7 @@ def resolve_variants_core(
     cap_d: int,
     axis: str | None = None,
     d_lo: int = 0,
+    seq_axis: str | None = None,
 ):
     """Variant patches for every anchored MS drop, fully on device.
 
@@ -617,6 +629,14 @@ def resolve_variants_core(
     start), and min(lcp, i+1) commutes with the max over rows, so
     ms_kmer[i] == min(ms_row[apos-k+1+i], i+1) exactly. Only the
     reference-k-mer-vs-sequence direction needs a real (tagged) join.
+
+    With ``seq_axis`` (inside a shard_map whose shards each hold the
+    tagged window keys of ONE position chunk of the sequence, built from
+    chunk + k-1 real left context), the rk-vs-seq join runs against the
+    local chunk table and the per-probe best reduces with a pmax: every
+    true window is owned by exactly one shard and a chunk-local
+    duplicate (a window ending in the context region, left-padded) can
+    only score <= the owning shard's exact value, so the max is exact.
     """
     Q, L = codes.shape
     S = Q * cap_d
@@ -649,7 +669,7 @@ def resolve_variants_core(
 
     # reference k-mer from the colex key table
     rk = unpack_rows3(keys3, ar, k, axis)  # [S, k] chunks
-    ra = _CHUNK_ASCII[rk]
+    ra = _chunk_ascii(rk)
 
     # ms of the reference k-mer vs THE SEQUENCE (tagged join). The probe
     # buffer pads k-1 slots per row so every window has full context;
@@ -678,6 +698,8 @@ def resolve_variants_core(
     n_seq = seq_words[0].shape[0]
     cap_seq = jnp.full((n_seq,), kk)
     c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
+    if seq_axis is not None:
+        c = jax.lax.pmax(c, seq_axis)
     msq = jnp.minimum(c, kk).reshape(S, kp)
     if d_lo:
         msq = jnp.concatenate(
@@ -803,7 +825,7 @@ def score_gaps_core(
 
     rows = jnp.maximum(cgrid, 0).reshape(-1)
     km = unpack_rows3(keys3, rows, k, axis).reshape(G, w, k)  # chunks
-    ka = _CHUNK_ASCII[km]
+    ka = _chunk_ascii(km)
 
     # phase C: overlap run lengths in RAW ASCII space. Candidate c's
     # right window is ref[jpos-k+1 .. jpos] with jpos = lo + c -- the
@@ -894,7 +916,7 @@ def score_gaps_core(
         ],
         _OOB,
     )
-    ext_ascii = _CHUNK_ASCII[exts]
+    ext_ascii = _chunk_ascii(exts)
     lane_lm = _leading_run(avail & (ext_ascii == ref_l))
     lane_ok = lane_valid & (lane_lm >= lreq)
     ext_ok = (
@@ -926,12 +948,12 @@ def score_gaps_core(
         off[None, :] < end_a[:, None]
     )
     dollar_a = jnp.sum(in_fill_a & (km_w == 0), axis=1) > 0
-    seg_a = _CHUNK_ASCII[
+    seg_a = _chunk_ascii(
         jnp.take_along_axis(
             km_w, jnp.clip(start_a[:, None] + t + i_g[None, :], 0, k - 1),
             axis=1,
         )
-    ]
+    )
 
     # --- extension winner: fill = ext[start:end] from the winning lane
     win_flat = jnp.where(
@@ -951,13 +973,13 @@ def score_gaps_core(
         i2k[None, :] < end_b[:, None]
     )
     dollar_b = jnp.sum(in_fill_b & (ext_w == 0), axis=1) > 0
-    seg_b = _CHUNK_ASCII[
+    seg_b = _chunk_ascii(
         jnp.take_along_axis(
             ext_w,
             jnp.clip(start_b[:, None] + t + i_g[None, :], 0, 2 * k - 1),
             axis=1,
         )
-    ]
+    )
 
     fill_len = jnp.where(win_is_a, len_a, len_b)
     has_dollar = jnp.where(win_is_a, dollar_a, dollar_b)
@@ -998,7 +1020,8 @@ def score_gaps_core(
 
 
 resolve_variants = jax.jit(
-    resolve_variants_core, static_argnames=("k", "cap_d", "axis", "d_lo")
+    resolve_variants_core,
+    static_argnames=("k", "cap_d", "axis", "d_lo", "seq_axis"),
 )
 score_gaps = jax.jit(
     score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext", "axis")

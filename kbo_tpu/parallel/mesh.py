@@ -571,6 +571,327 @@ def sharded_score_gaps(
     return fn(keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold)
 
 
+# --------------------------------------------- sequence-sharded map path
+#
+# The flagship `kbo map` workload is ONE multi-megabase pair
+# (/root/reference/src/lib.rs:720-761); contig-granular data parallelism
+# cannot split it. This path places POSITION CHUNKS of a single genome on
+# the ``data`` axis instead:
+#
+#   stage 1  the 3-bit rows join runs per chunk with k-1 real left context
+#            (exact -- the decomposition kernels.mapsweep.
+#            ms3_rows_sweep_chunked proves, here spatial instead of
+#            serial), and the dense (ms, uniq, rows) all_gather back;
+#   stage 2  derandomize/translate/candidate compaction replicate (the
+#            derandomize scan and gap runs cross chunk boundaries; a
+#            replicated run costs one device's worth of wall time);
+#   stage 3  gap scoring shards over CANDIDATE SLOTS (each gap's math is
+#            slot-local) and the variant resolver's rk-vs-sequence join
+#            shards over the SEQUENCE chunks (per-shard tagged window
+#            keys, per-probe best pmax-reduced -- see
+#            kernels.refine.resolve_variants_core);
+#   stage 4  priority assembly + the single delta fetch replicate.
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "mesh"))
+def _seqsh_stage1(keys3, lcs3, ctx_chunks, k: int, L: int, mesh):
+    """Position-sharded 3-bit rows join: ctx_chunks [nd, Q, (k-1)+chunk]
+    holds each shard's chunk with its k-1 real left-context codes
+    (INVALID for shard 0, matching the unchunked buffer head). Returns
+    REPLICATED dense (ms, uniq, rows) [Q, L]."""
+    from kbo_tpu.kernels.ms import ms3_rows_core
+
+    def shardfn(k3, l3, cc):
+        cc0 = cc[0]
+        Q, W0 = cc0.shape
+        m, u, r = ms3_rows_core(k3, l3, cc0.reshape(-1), k)
+
+        def fin(x):
+            x = x.reshape(Q, W0)[:, k - 1 :]
+            g = jax.lax.all_gather(x, "data")  # [nd, Q, chunk]
+            return jnp.transpose(g, (1, 0, 2)).reshape(Q, -1)[:, :L]
+
+        return fin(m), fin(u), fin(r)
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(keys3, lcs3, ctx_chunks)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap_d", "cap_g", "w_grid", "mesh")
+)
+def _repl_postprocess3(
+    ms, uniq, rows, lengths, threshold, k: int, cap_d: int, cap_g: int,
+    w_grid: int, mesh,
+):
+    """map_postprocess3 with explicitly REPLICATED placement on a mesh
+    (every device computes the identical full-contig postprocess; shard_map
+    with all-replicated specs pins the layout so downstream shard_maps pay
+    no resharding)."""
+    from kbo_tpu.kernels.mapsweep import map_postprocess3_core
+
+    fn = jax.shard_map(
+        lambda m, u, r, le, th: map_postprocess3_core(
+            m, u, r, le, k, th, cap_d, cap_g, w_grid
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(ms, uniq, rows, lengths, threshold)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap_g", "cap_ext", "mesh")
+)
+def seqsh_score_gaps(
+    keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
+    k: int, cap_g: int, cap_ext: int, mesh, ext_w=None, ext_l=None,
+):
+    """kernels.refine.score_gaps sharded over CANDIDATE SLOTS: each device
+    scores cap_g/nd of the compacted gap runs (slot math is gap-local;
+    the key table and reference replicate). Patch grids all_gather (their
+    order is irrelevant to the scatter-max assembly), ``needs_host`` is
+    re-laid out to the global [Q*cap_g] slot order, counters psum."""
+    from kbo_tpu.kernels.refine import score_gaps_core
+
+    nd = mesh.shape["data"]
+    Q = gap_start.shape[0]
+    capp = ((cap_g + nd - 1) // nd) * nd
+    if capp != cap_g:
+        pad = capp - cap_g
+        big = jnp.int32(2**31 - 1)
+        gap_start = jnp.pad(
+            gap_start[:, :cap_g], ((0, 0), (0, pad)), constant_values=big
+        )
+        gap_end_at = jnp.pad(
+            gap_end_at[:, :cap_g], ((0, 0), (0, pad)), constant_values=big
+        )
+        grid = jnp.pad(
+            grid[:, :cap_g], ((0, 0), (0, pad), (0, 0)), constant_values=-1
+        )
+    cap_gl = capp // nd
+    has_ext = ext_w is not None
+
+    def shardfn(k3, rm, le, gs, ge, gr, th, *ext):
+        gpos, gpv, nh, gc = score_gaps_core(
+            k3, rm, le, gs, ge, gr, th, k, cap_gl, cap_ext,
+            ext_tab=(ext if has_ext else None),
+        )
+        gpos = jax.lax.all_gather(gpos, "data").reshape(-1, gpos.shape[-1])
+        gpv = jax.lax.all_gather(gpv, "data").reshape(-1, gpv.shape[-1])
+        nh = (
+            jnp.transpose(
+                jax.lax.all_gather(nh.reshape(Q, cap_gl), "data"), (1, 0, 2)
+            )
+            .reshape(Q, capp)[:, :cap_g]
+            .reshape(-1)
+        )
+        return gpos, gpv, nh, jax.lax.psum(gc, "data")
+
+    in_specs = [
+        P(), P(), P(), P(None, "data"), P(None, "data"),
+        P(None, "data", None), P(),
+    ]
+    args = [keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold]
+    if has_ext:
+        in_specs += [P(), P()]
+        args += [ext_w, ext_l]
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap_d", "d_lo", "mesh"))
+def seqsh_resolve_variants(
+    keys3, ctx_chunks, codes, ref_mat, ms, lengths, drop_pos, apos, arow,
+    d, k: int, cap_d: int, mesh, d_lo: int = 0,
+):
+    """kernels.refine.resolve_variants with the rk-vs-sequence join table
+    SEQUENCE-SHARDED: each shard sorts only its chunk's tagged window keys
+    (built from chunk + k-1 real context) and the per-probe best reduces
+    with one pmax (exact -- every true window is owned by one shard;
+    context-region duplicates can only score lower). The slot math runs
+    replicated over the dense gathered arrays."""
+    from kbo_tpu.kernels.refine import (
+        resolve_variants_core,
+        seq_keys3_tagged_core,
+    )
+
+    def shardfn(k3, cc, co, rm, m_, le, dp, ap, ar, dd):
+        sw = seq_keys3_tagged_core(cc[0], k)
+        return resolve_variants_core(
+            k3, sw, co, rm, m_, le, dp, ap, ar, dd, k, cap_d,
+            d_lo=d_lo, seq_axis="data",
+        )
+
+    fn = jax.shard_map(
+        shardfn,
+        mesh=mesh,
+        in_specs=(
+            P(), P("data"), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(
+        keys3, ctx_chunks, codes, ref_mat, ms, lengths, drop_pos, apos,
+        arow, d,
+    )
+
+
+class _SeqShardedDev:
+    """Per-(index, mesh) holder consumed by refine.device_map.
+    map_devref_finish's sequence-sharded branch: replicated key table +
+    the sharded context chunks. ``_ext_table`` caches the extension-chain
+    table (kernels.refine.get_ext_table) on the mesh."""
+
+    def __init__(self, keys3, lcs3, k: int, mesh: Mesh):
+        self.keys3 = keys3
+        self.lcs3 = lcs3
+        self.k = k
+        self.seq_mesh = mesh
+        self.ctx_chunks = None  # set per call (shapes vary with L)
+
+
+def _seqsh_holder(query_sbwt: SbwtIndex, mesh: Mesh) -> _SeqShardedDev:
+    from kbo_tpu import engine
+
+    cache = getattr(query_sbwt, "_seqsh_cache", None)
+    if cache is None:
+        cache = {}
+        query_sbwt._seqsh_cache = cache
+    key = id(mesh)
+    holder = cache.get(key)
+    if holder is None:
+        dev = engine.device_index(query_sbwt)
+        repl = NamedSharding(mesh, P())
+        holder = _SeqShardedDev(
+            jax.device_put(dev.keys3, repl),
+            jax.device_put(dev.lcs3, repl),
+            dev.k,
+            mesh,
+        )
+        cache[key] = holder
+    return holder
+
+
+def map_seq_sharded(
+    ref_seqs: list[bytes],
+    query_sbwt: SbwtIndex,
+    map_opts=None,
+    mesh: Mesh | None = None,
+    code_list=None,
+) -> list[bytes]:
+    """Batched ``map_`` with the SEQUENCE position-sharded over a ``data``
+    mesh: one genome uses every device (the contig-granular
+    refine.device_map.map_devref_data_sharded cannot split the flagship
+    single-pair workload, /root/reference/src/lib.rs:720-761). Runs the
+    same single-fetch devref pipeline and is pinned bit-identical to the
+    single-device path (tests/test_mesh_map.py)."""
+    from kbo_tpu.kernels.refine import max_tag
+    from kbo_tpu.ops import derandomize
+    from kbo_tpu.opts import MapOpts
+    from kbo_tpu.refine.device_map import DevRefOverflow, map_devref_finish
+    from kbo_tpu.index.encode import encode_ascii
+    from kbo_tpu.utils.stats import stage
+
+    opts = map_opts or MapOpts()
+    if not ref_seqs:
+        return []
+    mesh = mesh or make_mesh()
+    assert "data" in mesh.axis_names, "expects a 'data' mesh axis"
+    nd = mesh.shape["data"]
+    k = query_sbwt.k
+    if opts.call_variants:
+        assert k == opts.sbwt_build_opts.k
+        assert not opts.sbwt_build_opts.add_revcomp, (
+            "the sharded devref path carries the forward text only"
+        )
+    threshold = derandomize.random_match_threshold(
+        k, query_sbwt.n_kmers, 4, opts.max_error_prob
+    )
+    if code_list is None:
+        code_list = [encode_ascii(bytes(r)) for r in ref_seqs]
+    codes, lengths = pad_batch(code_list, bucket=True)
+    Q, L = codes.shape
+    assert Q <= max_tag(k), (
+        f"{Q} contigs exceed the {max_tag(k)}-contig tag capacity at k={k}"
+    )
+    assert Q * L < 2**31
+    chunk = -(-L // nd)
+    assert chunk >= k, (
+        f"sequence of {L} too short to position-shard {nd} ways at k={k}"
+    )
+
+    # host prep: per-shard chunk + k-1 real left context (INVALID for
+    # shard 0 = the unchunked buffer head; INVALID tail pad)
+    W0 = (k - 1) + chunk
+    cc = np.full((nd, Q, W0), INVALID, dtype=np.uint8)
+    for s in range(nd):
+        lo = s * chunk
+        if lo >= L:
+            continue
+        c0 = max(0, lo - (k - 1))
+        seg = codes[:, c0 : min(L, lo + chunk)]
+        off = (k - 1) - (lo - c0)
+        cc[s, :, off : off + seg.shape[1]] = seg
+
+    ref_mat = np.zeros((Q, L), dtype=np.uint8)
+    for q, r in enumerate(ref_seqs):
+        ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+
+    holder = _seqsh_holder(query_sbwt, mesh)
+    repl = NamedSharding(mesh, P())
+    holder.ctx_chunks = put_global(mesh, P("data"), cc)
+    codes_dev = put_global(mesh, P(), codes)
+    lengths_dev = put_global(mesh, P(), lengths)
+    ref_mat_dev = jax.device_put(jnp.asarray(ref_mat), repl)
+
+    def _pow2_cap(n, lo=256):
+        c = lo
+        while c < n:
+            c <<= 1
+        return c
+
+    with stage("map_sweep", bases=sum(c.size for c in code_list)):
+        ms_dev, uniq_dev, rows_dev = _seqsh_stage1(
+            holder.keys3, holder.lcs3, holder.ctx_chunks, k=k, L=L,
+            mesh=mesh,
+        )
+        cap_d = _pow2_cap(L // 1024)
+        cap_g = _pow2_cap(L // 1536, lo=256)
+        while True:
+            chars_dev, packed_dev, pieces = _repl_postprocess3(
+                ms_dev, uniq_dev, rows_dev, lengths_dev,
+                jnp.int32(threshold), k=k, cap_d=cap_d, cap_g=cap_g,
+                w_grid=max(k - threshold + 1, 1), mesh=mesh,
+            )
+            try:
+                return map_devref_finish(
+                    holder, codes_dev, lengths_dev, ms_dev, chars_dev,
+                    pieces, packed_dev, ref_seqs, query_sbwt, code_list,
+                    opts, threshold, cap_d, cap_g,
+                    total_gap_slack=cap_g * 2 + 64,
+                    ref_mat=ref_mat, ref_mat_dev=ref_mat_dev,
+                )
+            except DevRefOverflow as o:
+                cap_d = _pow2_cap(o.need_d)
+                cap_g = _pow2_cap(o.need_g)
+
+
 def map_batch_index_sharded(
     ref_seqs: list[bytes],
     query_sbwt: SbwtIndex,

@@ -139,8 +139,11 @@ def map_devref_finish(
     needs_host_dev = None
     # prefix-sharded index placement: a Sharded3Index carries its mesh and
     # the refine kernels run inside shard_map with the table's collectives
-    # (parallel/mesh.py); everything else is identical
+    # (parallel/mesh.py); everything else is identical. A sequence-sharded
+    # holder (parallel.mesh._SeqShardedDev) instead shards gap slots and
+    # the rk-vs-seq join table over its ``data`` mesh.
     model_mesh = getattr(dev, "model_mesh", None)
+    seq_mesh = getattr(dev, "seq_mesh", None)
     cap_ge = cap_g  # device gap scoring covers every compacted slot
     # extension lanes scale with the TOTAL gap count across contigs:
     # measured ~2 case_b lanes per gap on SNP-dense inputs (4x headroom
@@ -158,6 +161,19 @@ def map_devref_finish(
                 pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
                 jnp.int32(threshold), k=k, cap_ge=cap_ge, cap_ext=cap_ext,
                 mesh=model_mesh,
+            )
+        elif seq_mesh is not None:
+            from kbo_tpu.kernels.refine import get_ext_table
+            from kbo_tpu.parallel.mesh import seqsh_score_gaps
+
+            ext_tab = get_ext_table(dev)
+            gpos, gpv, needs_host_dev, gap_counters_dev = seqsh_score_gaps(
+                dev.keys3, ref_mat_dev, lengths_dev,
+                pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
+                jnp.int32(threshold), k=k, cap_g=cap_ge, cap_ext=cap_ext,
+                mesh=seq_mesh,
+                ext_w=None if ext_tab is None else ext_tab[0],
+                ext_l=None if ext_tab is None else ext_tab[1],
             )
         else:
             from kbo_tpu.kernels.refine import get_ext_table
@@ -179,17 +195,29 @@ def map_devref_finish(
         pv_grids.append(gpv)
     if opts.call_variants:
         d_lo = max(int(threshold) - 1, 0)
-        seq_words = seq_keys3_tagged(codes_dev, k=k)
         if model_mesh is not None:
             from kbo_tpu.parallel.mesh import sharded_resolve_variants
 
+            seq_words = seq_keys3_tagged(codes_dev, k=k)
             vpos, vpv, n_var_dev = sharded_resolve_variants(
                 dev.keys3, seq_words, codes_dev, ref_mat_dev, ms_dev,
                 lengths_dev, pieces["drop_pos"], pieces["apos"],
                 pieces["arow"], jnp.int32(threshold), k=k, cap_d=cap_d,
                 mesh=model_mesh, d_lo=d_lo,
             )
+        elif seq_mesh is not None:
+            # the rk-vs-seq join table shards by position chunk (each
+            # shard sorts only its chunk's tagged window keys)
+            from kbo_tpu.parallel.mesh import seqsh_resolve_variants
+
+            vpos, vpv, n_var_dev = seqsh_resolve_variants(
+                dev.keys3, dev.ctx_chunks, codes_dev, ref_mat_dev, ms_dev,
+                lengths_dev, pieces["drop_pos"], pieces["apos"],
+                pieces["arow"], jnp.int32(threshold), k=k, cap_d=cap_d,
+                mesh=seq_mesh, d_lo=d_lo,
+            )
         else:
+            seq_words = seq_keys3_tagged(codes_dev, k=k)
             vpos, vpv, n_var_dev = resolve_variants(
                 dev.keys3,
                 seq_words,

@@ -45,6 +45,41 @@ def test_map_batch_sharded_parity(built):
     assert sharded == single
 
 
+def test_map_seq_sharded_parity(built):
+    """ONE contig position-sharded across all 8 devices (the flagship
+    single-genome workload, reference src/lib.rs:720-761): chunked 3-bit
+    join + slot-sharded gap scoring + sequence-sharded rk-vs-seq join
+    must be bit-identical to the single-device devref path."""
+    from kbo_tpu.parallel.mesh import map_seq_sharded
+
+    ref, sbwt, bo = built
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    single = api.map_batch([ref], sbwt, mo)
+    sharded = map_seq_sharded([ref], sbwt, mo, mesh=mesh)
+    assert sharded == single
+    # the API routes fewer-contigs-than-devices batches through this path
+    routed = api.map_batch([ref], sbwt, mo, mesh=mesh)
+    assert routed == single
+
+
+def test_map_seq_sharded_parity_multicontig(built):
+    """3 contigs < 8 devices: the position-sharded path carries several
+    tagged rows at once (padding rows + per-row context chunks)."""
+    from kbo_tpu.parallel.mesh import map_seq_sharded
+
+    ref, sbwt, bo = built
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    refs = [ref[:9000], ref[9000:21000], ref[21000:]]
+    mesh = make_mesh()
+    single = api.map_batch(refs, sbwt, mo)
+    sharded = map_seq_sharded(refs, sbwt, mo, mesh=mesh)
+    assert sharded == single
+
+
 def test_call_sharded_parity(built):
     ref, sbwt, bo = built
     co = CallOpts(max_error_prob=1e-7, sbwt_build_opts=bo)
