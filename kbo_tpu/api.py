@@ -609,7 +609,11 @@ def _map_batch_sparse(
                     )
                 packed_up = pack_ascii_host(ref_mat, lengths)
                 if packed_up is not None:
-                    ref_mat_dev = decode_packed4_device(
+                    from kbo_tpu.kernels.mapsweep import (
+                        decode_packed4_encode_device,
+                    )
+
+                    ref_mat_dev, codes_dev = decode_packed4_encode_device(
                         jnp.asarray(packed_up[0]),
                         jnp.asarray(packed_up[1]),
                         jnp.asarray(packed_up[2]),
@@ -617,7 +621,7 @@ def _map_batch_sparse(
                     )
                 else:
                     ref_mat_dev = jnp.asarray(ref_mat)
-                codes_dev = encode_ascii_device(ref_mat_dev)
+                    codes_dev = encode_ascii_device(ref_mat_dev)
             else:
                 codes_dev = jnp.asarray(get_codes())
             lengths_dev = jnp.asarray(lengths)
@@ -660,6 +664,23 @@ def _map_batch_sparse(
                     DevRefOverflow,
                     map_devref_finish,
                 )
+
+                # ONE-dispatch refinement (postprocess -> resolve ->
+                # score -> assemble -> packed delta): per-dispatch
+                # submission overhead through a remote TPU link is ~25 ms,
+                # so collapsing the ~6-dispatch chain is worth ~0.15 s at
+                # the 4.6M benchmark. Falls back to the multi-dispatch
+                # path when a gap needs the exact host evaluator.
+                if os.environ.get("KBO_TPU_MAP_FUSE_REFINE", "0") == "1":
+                    from kbo_tpu.refine.device_map import map_devref_fused
+
+                    out = map_devref_fused(
+                        dev, codes_dev, lengths_dev, ms_dev, uniq_dev,
+                        rows_dev, ref_seqs, opts, threshold, cap_d, cap_g,
+                        w_grid, ref_mat=ref_mat, ref_mat_dev=ref_mat_dev,
+                    )
+                    if out is not None:
+                        return out
 
                 while True:
                     chars_dev, packed_dev, pieces = run_post(cap_d, cap_g)

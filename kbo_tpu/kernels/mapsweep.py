@@ -129,6 +129,16 @@ def decode_packed4_device(packed4, exc_pos, exc_byte, lengths):
 
 
 @jax.jit
+def decode_packed4_encode_device(packed4, exc_pos, exc_byte, lengths):
+    """One dispatch for the packed-upload tail: exact raw ASCII [Q, L]
+    AND its sweep codes together (decode_packed4_device +
+    encode_ascii_device fused -- the raw matrix never round-trips HBM
+    between two separate launches)."""
+    rm = decode_packed4_device(packed4, exc_pos, exc_byte, lengths)
+    return rm, encode_ascii_device(rm)
+
+
+@jax.jit
 def encode_ascii_device(ascii_mat):
     """Device twin of index.encode.encode_ascii: raw ASCII bytes -> codes
     (0='$', 1..4=ACGT/acgt, else INVALID), as branch-free selects.

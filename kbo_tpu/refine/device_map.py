@@ -388,6 +388,133 @@ def map_devref_finish(
     ]
 
 
+# ------------------------------------- fused single-dispatch refinement
+
+
+_fused_jit = None
+
+
+def _get_fused_jit():
+    global _fused_jit
+    if _fused_jit is None:
+        import jax
+
+        def impl(k3, co, rm, le, m_, u_, r_, th, ew, el, kk, cd, cg, ce,
+                 cr, dg, dv, fm, dl, wg, he):
+            return devref_core(
+                k3, co, rm, le, m_, u_, r_, th, kk, cd, cg, ce, cr, dg,
+                dv, fm, d_lo=dl, w_grid=wg,
+                ext_tab=((ew, el) if he else None),
+            )
+
+        _fused_jit = jax.jit(
+            impl,
+            static_argnames=(
+                "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "dl",
+                "wg", "he",
+            ),
+        )
+    return _fused_jit
+
+
+def map_devref_fused(
+    dev,
+    codes_dev,
+    lengths_dev,
+    ms_dev,
+    uniq_dev,
+    rows_dev,
+    ref_seqs,
+    opts,
+    threshold: int,
+    cap_d: int,
+    cap_g: int,
+    w_grid: int,
+    ref_mat=None,
+    ref_mat_dev=None,
+):
+    """Single-device map refinement as ONE dispatch: postprocess ->
+    variant resolution -> gap scoring -> priority assembly -> packed
+    delta emission (the :func:`devref_core` fusion the contig-sharded
+    path already runs per shard, here at full batch size). Replaces ~6
+    separate dispatches whose per-dispatch submission overhead through
+    a remote TPU link (~25 ms each) dominated the map wall next to the
+    sweep (BASELINE.md round-4 stage budget). np.asarray on the [4,
+    cap_r] result IS the steady-state fetch.
+
+    Returns the output byte list, or None when a gap needs the exact
+    host evaluator (the caller falls back to the multi-dispatch path,
+    which re-exposes the packed candidate block the host scorer needs).
+    """
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.refine import get_ext_table
+
+    k = dev.k
+    Q, L = codes_dev.shape
+    if ref_mat is None:
+        ref_mat = np.zeros((Q, L), dtype=np.uint8)
+        for q, r in enumerate(ref_seqs):
+            ref_mat[q, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+    if ref_mat_dev is None:
+        ref_mat_dev = jnp.asarray(ref_mat)
+
+    ext_tab = get_ext_table(dev) if opts.fill_gaps else None
+    ew, el = (ext_tab if ext_tab is not None else (None, None))
+    fn = _get_fused_jit()
+    cap_r_floor = 0
+    for _attempt in range(4):
+        cap_ext = _pow2_cap(max(4 * cap_g, 32 * Q), lo=256)
+        cap_r = max(
+            _pow2_cap(int(L // 1024 + (cap_g * 2 + 64) // 4 + 256)),
+            cap_r_floor,
+        )
+        delta4, _needs_host = fn(
+            dev.keys3, codes_dev, ref_mat_dev, lengths_dev,
+            ms_dev, uniq_dev, rows_dev, jnp.int32(threshold), ew, el,
+            kk=k, cd=cap_d, cg=cap_g, ce=cap_ext, cr=cap_r,
+            dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
+            fm=bool(opts.format), dl=max(int(threshold) - 1, 0),
+            wg=w_grid, he=ext_tab is not None,
+        )
+        delta = np.asarray(delta4)  # THE one steady-state fetch
+        crow = delta[3]
+        max_d, max_g, n_need_host = int(crow[2]), int(crow[3]), int(crow[4])
+        if max_d > cap_d or max_g > cap_g:
+            cap_d = max(cap_d, _pow2_cap(max_d))
+            cap_g = max(cap_g, _pow2_cap(max_g))
+            continue
+        if opts.fill_gaps and (n_need_host > 0 or max_g > cap_g):
+            return None  # exact host evaluator needed: multi-dispatch path
+        n_runs = int(crow[0])
+        if n_runs > cap_r:
+            cap_r_floor = _pow2_cap(n_runs)
+            continue
+        break
+    else:
+        return None
+
+    stats = get_stats()
+    if opts.fill_gaps:
+        stats.add("gaps_seen", int(crow[5]))
+        stats.add("gaps_filled", int(crow[6]))
+        stats.add("gap_bases_unfilled", int(crow[7]))
+    else:
+        stats.add("gap_bases_unfilled", int(crow[9]))
+    if opts.call_variants:
+        stats.add("variants_called", int(crow[8]))
+
+    canvas, row_lens = _canvas(ref_seqs, Q, L, bool(opts.format), ref_mat)
+    _paint_runs(
+        canvas, delta[0, :n_runs], delta[1, :n_runs], delta[2, :n_runs],
+        L, row_lens,
+    )
+    return [
+        canvas[q * L : q * L + row_lens[q]].tobytes()
+        for q in range(len(ref_seqs))
+    ]
+
+
 # ---------------------------------------- data-parallel (contig-sharded)
 
 

@@ -148,6 +148,31 @@ def test_devref_overflow_retry():
     assert host == dev
 
 
+def test_fused_refinement_single_dispatch_matches():
+    # KBO_TPU_MAP_FUSE_REFINE collapses the post-sweep chain (postprocess
+    # -> resolve -> score -> assemble -> packed delta) into ONE dispatch
+    # (refine.device_map.map_devref_fused); output must be bit-identical
+    # to the multi-dispatch devref path, incl. deletions and a dense
+    # overflow-retry workload
+    k = 51
+    bo = BuildOpts(k=k, build_select=True)
+    env = os.environ
+    try:
+        for seed, snp_every, del_every in ((3, 900, 6000), (9, 60, 0)):
+            ref, query = _pair(24_000, k, seed=seed, snp_every=snp_every,
+                               del_every=del_every)
+            index = build([query], bo)
+            mo = MapOpts()
+            mo.sbwt_build_opts = bo
+            env.pop("KBO_TPU_MAP_FUSE_REFINE", None)
+            multi = api.map_batch([ref], index, mo)
+            env["KBO_TPU_MAP_FUSE_REFINE"] = "1"
+            fused = api.map_batch([ref], index, mo)
+            assert fused == multi, (seed, snp_every, del_every)
+    finally:
+        env.pop("KBO_TPU_MAP_FUSE_REFINE", None)
+
+
 def test_chunked_fused_sweep_matches_single_shot():
     # KBO_TPU_MAP_CHUNK forces fixed-shape sub-dispatches; outputs must
     # be bit-identical to the single-shot fused sweep (exact k-1 context)
