@@ -24,12 +24,14 @@ onto the device so the steady-state map pays ONE fetch:
   re-runs (the reference's build-an-index-inside-call(), src/lib.rs:553,
   without the construction).
 
-Multi-contig correctness rides a contig tag embedded in the spare top 2
-bits of every packed 3-bit word (10 chunks x 3 bits = 30 of 32): the tag
-is the most significant part of each word, so the lexicographic sort
-groups windows by contig and the chunk arithmetic of `_common3` (and its
-Pallas twin `pallas_join._common_chunks`) yields lcp <= 0 across contigs.
-Capacity: Q <= 4**W3 contigs (2 bits per word); callers gate.
+Multi-contig correctness rides a contig tag carried as a dedicated
+LEADING KEY WORD (values in chunk bits 29..0), so the lexicographic sort
+groups windows strictly by (contig, key) and the chunk arithmetic of
+`_common3` (and its Pallas twin `pallas_join._common_chunks`) adds
+exactly 10 chunks for an equal tag word and caps cross-contig common
+prefixes at <= 9 -- the caller shifts the clamp caps and the scan result
+by that +10 (see ``_TAG_PAD``). Capacity: Q < 2^30 contigs; callers gate
+via :func:`max_tag`.
 
 Patch ordering: the host applied patches through a dict (last write wins,
 gap fills first, then variants in ascending site order). Scatters with
@@ -80,21 +82,25 @@ def _chunk_ascii(x):
 
 
 def max_tag(k: int) -> int:
-    """Largest contig count the tagged join supports (2 bits per word)."""
-    return 1 << (2 * w3_for_k(k))
+    """Largest contig count the tagged join supports (a full tag word in
+    chunk bits 29..0)."""
+    return 1 << 30
 
 
-def _embed_tags(words, tag):
-    """OR a per-slot contig tag into the spare top-2 bits of each word,
-    most significant tag bits in word 0 (lexicographic word order then
-    sorts by (tag, key))."""
-    W = len(words)
-    tag = tag.astype(jnp.uint32)
-    out = []
-    for w in range(W):
-        bits = (tag >> jnp.uint32(2 * (W - 1 - w))) & jnp.uint32(3)
-        out.append(words[w] | (bits << jnp.uint32(30)))
-    return out
+# The contig tag is a dedicated LEADING WORD (values < 2^30, riding the
+# same 10x3-bit chunk field as content words). An earlier scheme spread
+# 2 tag bits into the spare top bits of EVERY word -- subtly wrong: two
+# contigs whose tags differ only in a later word's bits (e.g. tags 1 vs 2
+# at W=6) sort interleaved and can count up to 10*(W-1) chunks of phantom
+# cross-contig common prefix (caught by the map fuzz matrix,
+# tests/test_fuzz_map.py seed 10). With the tag word first, the radix sort
+# groups strictly by (tag, key); `_common3` skips the top 2 bits per word,
+# so an equal tag word contributes exactly +10 chunks and a differing one
+# caps the total at <= 9 -- the caller adds 10 to the clamp caps and
+# subtracts 10 from the scan result, which composes exactly through the
+# directional min/max clamp scans (every within-group edge inflates by the
+# same +10; any cross-group edge drops the path below 10).
+_TAG_PAD = 10
 
 
 def seq_keys3_tagged_core(codes, k: int):
@@ -103,18 +109,23 @@ def seq_keys3_tagged_core(codes, k: int):
     Pad chunk 5 (the sequence-index convention, kernels.ms
     ms3_values_vs_sorted_seq_core): pads never match probe chars (1..4)
     nor probe pads (7). Windows that straddle a row's leading pad carry a
-    5 at distance 0 and join nothing.
+    5 at distance 0 and join nothing. Q > 1 prepends the tag word (see
+    ``_TAG_PAD``); Q == 1 keeps the plain untagged keys (the flagship
+    single-genome shape pays nothing).
     """
     Q, L = codes.shape
     pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
     stride = L + k - 1
     words = pack_windows_3bit(buf, k, pad_chunk=5)
-    # row tag via 2-D iota: an arange // stride would be a genome-wide
-    # non-power-of-two integer division (no VPU divide unit)
-    tag = jax.lax.broadcasted_iota(jnp.int32, (Q, stride), 0).reshape(-1)
-    words = _embed_tags(words, tag)
-    return tuple(_radix_sort(words, w3_for_k(k)))
+    if Q > 1:
+        # row tag via 2-D iota: an arange // stride would be a genome-wide
+        # non-power-of-two integer division (no VPU divide unit)
+        tag = jax.lax.broadcasted_iota(
+            jnp.uint32, (Q, stride), 0
+        ).reshape(-1)
+        words = [tag] + list(words)
+    return tuple(_radix_sort(words, len(words)))
 
 
 seq_keys3_tagged = jax.jit(seq_keys3_tagged_core, static_argnames=("k",))
@@ -691,15 +702,23 @@ def resolve_variants_core(
         w.reshape(S, stride)[:, k - 1 + d_lo :].reshape(-1)
         for w in p_words_all
     ]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, kp), 0).reshape(-1)
-    p_tag = lane // jnp.int32(cap_d)  # cap_d is a power of two (shift)
-    p_words = _embed_tags(p_words, p_tag)
     meta = jnp.arange(S * kp, dtype=jnp.int32)
     n_seq = seq_words[0].shape[0]
-    cap_seq = jnp.full((n_seq,), kk)
+    if Q > 1:
+        # leading tag word (see _TAG_PAD): probes join only their own
+        # contig's windows; caps and the result shift by the tag word's
+        # +10-chunk contribution
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, kp), 0).reshape(-1)
+        p_tag = (lane // jnp.int32(cap_d)).astype(jnp.uint32)
+        p_words = [p_tag] + p_words
+        cap_seq = jnp.full((n_seq,), kk + jnp.int32(_TAG_PAD))
+    else:
+        cap_seq = jnp.full((n_seq,), kk)
     c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
     if seq_axis is not None:
         c = jax.lax.pmax(c, seq_axis)
+    if Q > 1:
+        c = jnp.maximum(c - jnp.int32(_TAG_PAD), 0)
     msq = jnp.minimum(c, kk).reshape(S, kp)
     if d_lo:
         msq = jnp.concatenate(
@@ -780,16 +799,21 @@ def score_gaps_core(
     cap_ext: int,
     axis: str | None = None,
     ext_tab=None,
+    bound=None,
 ):
     """Gap-fill candidate scoring + first-success commit on device.
 
     Follows refine/gap_filling._score_candidates phases C-E exactly,
-    INCLUDING left extension (:func:`left_extend_device`); the
-    first-success scan is position-descending across both candidate kinds
-    (reference: src/gap_filling.rs:444-526). ``needs_host`` flags only
-    gaps whose extension lanes did not fit the static budgets (more than
+    INCLUDING left extension (:func:`left_extend_device`) and the
+    probabilistic acceptance for gaps a single k-mer cannot span
+    (``bound`` = log1p(-max_error_prob); reference:
+    src/gap_filling.rs:476-509); the first-success scan is
+    position-descending across both candidate kinds (reference:
+    src/gap_filling.rs:444-526). ``needs_host`` flags only gaps whose
+    extension lanes did not fit the static budgets (more than
     ``cap_ext`` case_b lanes overall, or an extension budget beyond k
-    chars) -- those fall back to the exact host evaluator.
+    chars) or whose width exceeds the [G, k] fill window -- those fall
+    back to the exact host evaluator.
 
     grid: [Q, cap_ge, w] colex row of candidate jpos = search_lo + c
     when unique, else -1 (from kernels.mapsweep.map_postprocess3; the
@@ -984,6 +1008,66 @@ def score_gaps_core(
     fill_len = jnp.where(win_is_a, len_a, len_b)
     has_dollar = jnp.where(win_is_a, dollar_a, dollar_b)
     seg_ascii = jnp.where(win_is_a[:, None], seg_a, seg_b)
+
+    ppos_local = gs[:, None] + i_g[None, :]
+    ref_at = ref_flat[
+        q_of[:, None] * jnp.int32(L) + jnp.minimum(ppos_local, jnp.int32(L - 1))
+    ]
+
+    # acceptance beyond no-indel/no-dollar (reference src/gap_filling.rs:
+    # 476-509): a k-mer spanning gap + both flanks is accepted outright
+    # (``fits``); otherwise the consecutive-match run probability test
+    # (fill_overlaps, :496-506) or the mismatch-flanked pattern
+    # (fill_flanked, :507) must pass. The per-run CDF addends come from
+    # the SAME host-float64 table as the host evaluator
+    # (ops.derandomize.log_rm_max_cdf) and accumulate in ascending run
+    # order, so the float64 sum -- and the > bound decision -- is
+    # bit-identical to refine.gap_filling._run_log_prob. A gap wider
+    # than k cannot represent its match pattern in the [G, k] fill
+    # window and is flagged to the exact host evaluator instead.
+    in_gap = i_g[None, :] < gap_len[:, None]
+    match = in_gap & (seg_ascii == ref_at)
+    if bound is None:
+        prob_ok = jnp.ones(G, dtype=bool)
+    else:
+        from kbo_tpu.ops.derandomize import log_rm_max_cdf
+
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        cdf_tbl = jnp.asarray(
+            np.asarray(
+                [0.0]
+                + [log_rm_max_cdf(r + 1, 4, 1) for r in range(1, k + 1)],
+                dtype=np.float64,
+            ).astype(fdt)
+        )
+        pairs = match[:, :-1] & match[:, 1:]
+        pairs = pairs & (i_g[None, :-1] < (gap_len[:, None] - 1))
+        nxt = jnp.concatenate(
+            [pairs[:, 1:], jnp.zeros((G, 1), bool)], axis=1
+        )
+        run_end = pairs & ~nxt
+        # a run reaching the final pair never flushes (:505 trailing run)
+        ends_final = i_g[None, :-1] == (gap_len[:, None] - 2)
+        acc = jnp.zeros(G, fdt)
+        rl = jnp.zeros(G, jnp.int32)
+        for j in range(k - 1):
+            rl = jnp.where(pairs[:, j], rl + 1, 0)
+            take = run_end[:, j] & ~ends_final[:, j]
+            acc = acc + jnp.where(
+                take, cdf_tbl[jnp.minimum(rl, jnp.int32(k))], fdt(0)
+            )
+        fill_overlaps = acc > jnp.asarray(bound, fdt)
+        first_m = match[:, 0]
+        last_m = jnp.take_along_axis(
+            match, jnp.clip(gap_len - 1, 0, k - 1)[:, None], axis=1
+        )[:, 0]
+        n_match = jnp.sum(match.astype(jnp.int32), axis=1)
+        flanked = (
+            (gap_len > 0) & ~first_m & ~last_m & (n_match + 2 == gap_len)
+        )
+        prob_ok = fill_overlaps | flanked
+    needs_host = needs_host | (real & (gap_len > kk))
+
     accept = (
         real
         & has_w
@@ -991,15 +1075,12 @@ def score_gaps_core(
         & ~needs_host
         & (fill_len == 2 * t + gap_len)
         & ~has_dollar
+        & (fits | prob_ok)
     )
 
     # paint: 'M' where the filler agrees with the raw reference bytes,
     # the filler nucleotide where it does not (src/gap_filling.rs:511-519)
-    ppos_local = gs[:, None] + i_g[None, :]
     emit = accept[:, None] & (i_g[None, :] < gap_len[:, None])
-    ref_at = ref_flat[
-        q_of[:, None] * jnp.int32(L) + jnp.minimum(ppos_local, jnp.int32(L - 1))
-    ]
     pval = jnp.where(seg_ascii == ref_at, jnp.uint8(ord("M")), seg_ascii)
     pos = jnp.where(
         emit, q_of[:, None] * jnp.int32(L) + ppos_local, jnp.int32(Q * L)
@@ -1026,3 +1107,11 @@ resolve_variants = jax.jit(
 score_gaps = jax.jit(
     score_gaps_core, static_argnames=("k", "cap_ge", "cap_ext", "axis")
 )
+
+
+def prob_bound(max_error_prob: float) -> float:
+    """log1p(-p) in host float64 -- the acceptance bound the reference
+    compares the per-run CDF sum against (src/gap_filling.rs:497)."""
+    import math
+
+    return math.log1p(-max_error_prob)

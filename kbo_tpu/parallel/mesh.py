@@ -549,26 +549,30 @@ def sharded_resolve_variants(
 )
 def sharded_score_gaps(
     keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
-    k: int, cap_ge: int, cap_ext: int, mesh,
+    bound, k: int, cap_ge: int, cap_ext: int, mesh,
 ):
     """kernels.refine.score_gaps with the key table prefix-sharded: the
     candidate k-mer unpack psums per-shard contributions and the left
     extension's membership binary searches OR-reduce across shards."""
     from kbo_tpu.kernels.refine import score_gaps_core
 
-    def shardfn(k3, rm, le, gs, ge, gr, th):
+    def shardfn(k3, rm, le, gs, ge, gr, th, bd):
         return score_gaps_core(
-            k3, rm, le, gs, ge, gr, th, k, cap_ge, cap_ext, axis="model"
+            k3, rm, le, gs, ge, gr, th, k, cap_ge, cap_ext, axis="model",
+            bound=bd,
         )
 
     fn = jax.shard_map(
         shardfn,
         mesh=mesh,
-        in_specs=(P(None, "model"), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(None, "model"), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return fn(keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold)
+    return fn(
+        keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
+        jnp.asarray(bound),
+    )
 
 
 # --------------------------------------------- sequence-sharded map path
@@ -653,7 +657,7 @@ def _repl_postprocess3(
 )
 def seqsh_score_gaps(
     keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
-    k: int, cap_g: int, cap_ext: int, mesh, ext_w=None, ext_l=None,
+    bound, k: int, cap_g: int, cap_ext: int, mesh, ext_w=None, ext_l=None,
 ):
     """kernels.refine.score_gaps sharded over CANDIDATE SLOTS: each device
     scores cap_g/nd of the compacted gap runs (slot math is gap-local;
@@ -680,10 +684,10 @@ def seqsh_score_gaps(
     cap_gl = capp // nd
     has_ext = ext_w is not None
 
-    def shardfn(k3, rm, le, gs, ge, gr, th, *ext):
+    def shardfn(k3, rm, le, gs, ge, gr, th, bd, *ext):
         gpos, gpv, nh, gc = score_gaps_core(
             k3, rm, le, gs, ge, gr, th, k, cap_gl, cap_ext,
-            ext_tab=(ext if has_ext else None),
+            ext_tab=(ext if has_ext else None), bound=bd,
         )
         gpos = jax.lax.all_gather(gpos, "data").reshape(-1, gpos.shape[-1])
         gpv = jax.lax.all_gather(gpv, "data").reshape(-1, gpv.shape[-1])
@@ -698,9 +702,12 @@ def seqsh_score_gaps(
 
     in_specs = [
         P(), P(), P(), P(None, "data"), P(None, "data"),
-        P(None, "data", None), P(),
+        P(None, "data", None), P(), P(),
     ]
-    args = [keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold]
+    args = [
+        keys3, ref_mat, lengths, gap_start, gap_end_at, grid, threshold,
+        jnp.asarray(bound),
+    ]
     if has_ext:
         in_specs += [P(), P()]
         args += [ext_w, ext_l]

@@ -153,14 +153,17 @@ def map_devref_finish(
     # undersizing costs round trips, not correctness.
     cap_ext = _pow2_cap(max(4 * cap_g, 32 * Q), lo=256)
     if opts.fill_gaps:
+        from kbo_tpu.kernels.refine import prob_bound
+
+        bound = prob_bound(opts.max_error_prob)  # traced host-f64 scalar
         if model_mesh is not None:
             from kbo_tpu.parallel.mesh import sharded_score_gaps
 
             gpos, gpv, needs_host_dev, gap_counters_dev = sharded_score_gaps(
                 dev.keys3, ref_mat_dev, lengths_dev,
                 pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
-                jnp.int32(threshold), k=k, cap_ge=cap_ge, cap_ext=cap_ext,
-                mesh=model_mesh,
+                jnp.int32(threshold), bound, k=k, cap_ge=cap_ge,
+                cap_ext=cap_ext, mesh=model_mesh,
             )
         elif seq_mesh is not None:
             from kbo_tpu.kernels.refine import get_ext_table
@@ -170,8 +173,8 @@ def map_devref_finish(
             gpos, gpv, needs_host_dev, gap_counters_dev = seqsh_score_gaps(
                 dev.keys3, ref_mat_dev, lengths_dev,
                 pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
-                jnp.int32(threshold), k=k, cap_g=cap_ge, cap_ext=cap_ext,
-                mesh=seq_mesh,
+                jnp.int32(threshold), bound, k=k, cap_g=cap_ge,
+                cap_ext=cap_ext, mesh=seq_mesh,
                 ext_w=None if ext_tab is None else ext_tab[0],
                 ext_l=None if ext_tab is None else ext_tab[1],
             )
@@ -190,6 +193,7 @@ def map_devref_finish(
                 cap_ge=cap_ge,
                 cap_ext=cap_ext,
                 ext_tab=get_ext_table(dev),
+                bound=bound,
             )
         pos_grids.append(gpos)
         pv_grids.append(gpv)
@@ -399,12 +403,12 @@ def _get_fused_jit():
     if _fused_jit is None:
         import jax
 
-        def impl(k3, co, rm, le, m_, u_, r_, th, ew, el, kk, cd, cg, ce,
-                 cr, dg, dv, fm, dl, wg, he):
+        def impl(k3, co, rm, le, m_, u_, r_, th, bd, ew, el, kk, cd, cg,
+                 ce, cr, dg, dv, fm, dl, wg, he):
             return devref_core(
                 k3, co, rm, le, m_, u_, r_, th, kk, cd, cg, ce, cr, dg,
                 dv, fm, d_lo=dl, w_grid=wg,
-                ext_tab=((ew, el) if he else None),
+                ext_tab=((ew, el) if he else None), bound=bd,
             )
 
         _fused_jit = jax.jit(
@@ -448,7 +452,7 @@ def map_devref_fused(
     """
     import jax.numpy as jnp
 
-    from kbo_tpu.kernels.refine import get_ext_table
+    from kbo_tpu.kernels.refine import get_ext_table, prob_bound
 
     k = dev.k
     Q, L = codes_dev.shape
@@ -471,7 +475,8 @@ def map_devref_fused(
         )
         delta4, _needs_host = fn(
             dev.keys3, codes_dev, ref_mat_dev, lengths_dev,
-            ms_dev, uniq_dev, rows_dev, jnp.int32(threshold), ew, el,
+            ms_dev, uniq_dev, rows_dev, jnp.int32(threshold),
+            prob_bound(opts.max_error_prob), ew, el,
             kk=k, cd=cap_d, cg=cap_g, ce=cap_ext, cr=cap_r,
             dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), dl=max(int(threshold) - 1, 0),
@@ -522,7 +527,7 @@ def devref_core(
     keys3, codes, ref_mat, lengths, ms, uniq, rows, threshold,
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
     do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
-    w_grid: int | None = None, ext_tab=None,
+    w_grid: int | None = None, ext_tab=None, bound=None,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -560,7 +565,7 @@ def devref_core(
         gpos, gpv, needs_host, gap_counters = score_gaps_core(
             keys3, ref_mat, lengths, pieces["gap_start"],
             pieces["gap_end_at"], pieces["grid"], threshold,
-            k, cap_g, cap_ext, ext_tab=ext_tab,
+            k, cap_g, cap_ext, ext_tab=ext_tab, bound=bound,
         )
         pos_grids.append(gpos)
         pv_grids.append(gpv)
@@ -634,7 +639,7 @@ def _data_stage1_impl(k3, l3, co, kk: int, mesh):
     return fn(k3, l3, co)
 
 
-def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, ew, el, kk: int,
+def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, bd, ew, el, kk: int,
                       cd: int, cg: int, ce: int, cr: int, dg: bool,
                       dv: bool, fm: bool, mesh, dl: int = 0,
                       wg: int | None = None):
@@ -643,18 +648,18 @@ def _data_stage2_impl(k3, co, rm, le, m_, u_, r_, th, ew, el, kk: int,
 
     has_ext = ew is not None
 
-    def shardfn(k3s, cos, rms, les, ms_, us, rs_, ths, *ext):
+    def shardfn(k3s, cos, rms, les, ms_, us, rs_, ths, bds, *ext):
         return devref_core(
             k3s, cos, rms, les, ms_, us, rs_, ths,
             kk, cd, cg, ce, cr, dg, dv, fm, d_lo=dl, w_grid=wg,
-            ext_tab=(ext if has_ext else None),
+            ext_tab=(ext if has_ext else None), bound=bds,
         )
 
     in_specs = [
         P(), P("data"), P("data"), P("data"),
-        P("data"), P("data"), P("data"), P(),
+        P("data"), P("data"), P("data"), P(), P(),
     ]
-    args = [k3, co, rm, le, m_, u_, r_, th]
+    args = [k3, co, rm, le, m_, u_, r_, th, bd]
     if has_ext:
         in_specs += [P(), P()]
         args += [ew, el]
@@ -764,9 +769,11 @@ def map_devref_data_sharded(
         if ext_tab is not None:
             ew = jax.device_put(ext_tab[0], repl)
             el = jax.device_put(ext_tab[1], repl)
+        from kbo_tpu.kernels.refine import prob_bound
+
         delta4, needs_host = _stage2(
             keys3, codes_d, ref_d, len_d, ms_d, uniq_d, rows_d,
-            jnp.int32(threshold), ew, el,
+            jnp.int32(threshold), prob_bound(opts.max_error_prob), ew, el,
             kk=k, cd=cap_d, cg=cap_g, ce=cap_ext,
             cr=cap_r, dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), mesh=mesh,
