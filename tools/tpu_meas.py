@@ -47,6 +47,18 @@ STEP_ENV = {
 
 
 def probe(timeout_s: float = 75) -> bool:
+    # a fresh watcher state file is authoritative (probing again from a
+    # second process contends for the relay and can kill the window)
+    try:
+        st = "/tmp/relay_state.txt"
+        if (
+            os.path.exists(st)
+            and time.time() - os.path.getmtime(st) < 90
+            and open(st).read().strip() == "UP"
+        ):
+            return True
+    except OSError:
+        pass
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
