@@ -780,7 +780,9 @@ def _seqsh_holder(query_sbwt: SbwtIndex, mesh: Mesh) -> _SeqShardedDev:
     if cache is None:
         cache = {}
         query_sbwt._seqsh_cache = cache
-    key = id(mesh)
+    # key by the mesh VALUE (devices + axis names): meshes compare by
+    # content, and an id() key could alias a dead mesh after GC reuse
+    key = mesh
     holder = cache.get(key)
     if holder is None:
         dev = engine.device_index(query_sbwt)
