@@ -579,12 +579,14 @@ def _map_batch_sparse(
             )
             from kbo_tpu.kernels.refine import max_tag
 
+            # revcomp inner indexes are supported here: the rk-vs-seq join
+            # table extends with the reverse-complement windows
+            # (kernels.refine.with_revcomp_rows), matching the reference's
+            # both-strand inner index (src/lib.rs:553). The mesh-sharded
+            # paths still gate it out upstream.
             use_devref = (
                 os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
                 and Q <= max_tag(k)
-                and not (
-                    opts.call_variants and opts.sbwt_build_opts.add_revcomp
-                )
             )
             ref_mat = ref_mat_dev = None
             if use_devref:

@@ -103,6 +103,25 @@ def max_tag(k: int) -> int:
 _TAG_PAD = 10
 
 
+def with_revcomp_rows(codes):
+    """[Q, L] codes -> [Q, 2L+1] per-row [forward | INVALID | revcomp].
+
+    The reference's ``call`` builds its inner sequence index with the SAME
+    BuildOpts as the outer one (src/lib.rs:553), so an ``add_revcomp``
+    configuration indexes BOTH strands of the streamed sequence: the
+    rk-vs-seq join table must carry the reverse-complement windows too.
+    Codes 1..4 complement as 5-c; INVALID (and the separator) pack as
+    chunk 5 in the table, so strand-straddling windows join nothing, and
+    a reversed row's leading INVALID tail gives the rc text exactly the
+    fresh-row '$'-context the inner index's dummy rows would."""
+    Q, L = codes.shape
+    rc = jnp.where(
+        (codes >= 1) & (codes <= 4), jnp.uint8(5) - codes, codes
+    )[:, ::-1]
+    sep = jnp.full((Q, 1), INVALID, jnp.uint8)
+    return jnp.concatenate([codes, sep, rc], axis=1)
+
+
 def seq_keys3_tagged_core(codes, k: int):
     """Sorted contig-tagged 3-bit window keys of a [Q, L] code batch.
 
@@ -129,6 +148,11 @@ def seq_keys3_tagged_core(codes, k: int):
 
 
 seq_keys3_tagged = jax.jit(seq_keys3_tagged_core, static_argnames=("k",))
+
+seq_keys3_tagged_rc = jax.jit(
+    lambda codes, k: seq_keys3_tagged_core(with_revcomp_rows(codes), k),
+    static_argnames=("k",),
+)
 
 
 def unpack_rows3(keys3, rows, k: int, axis: str | None = None):

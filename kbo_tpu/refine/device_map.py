@@ -221,7 +221,15 @@ def map_devref_finish(
                 mesh=seq_mesh, d_lo=d_lo,
             )
         else:
-            seq_words = seq_keys3_tagged(codes_dev, k=k)
+            if getattr(opts.sbwt_build_opts, "add_revcomp", False):
+                # the inner sequence index would carry BOTH strands
+                # (reference src/lib.rs:553 reuses the BuildOpts): join
+                # rk against forward + revcomp windows
+                from kbo_tpu.kernels.refine import seq_keys3_tagged_rc
+
+                seq_words = seq_keys3_tagged_rc(codes_dev, k=k)
+            else:
+                seq_words = seq_keys3_tagged(codes_dev, k=k)
             vpos, vpv, n_var_dev = resolve_variants(
                 dev.keys3,
                 seq_words,
@@ -404,18 +412,19 @@ def _get_fused_jit():
         import jax
 
         def impl(k3, co, rm, le, m_, u_, r_, th, bd, ew, el, kk, cd, cg,
-                 ce, cr, dg, dv, fm, dl, wg, he):
+                 ce, cr, dg, dv, fm, dl, wg, he, rc):
             return devref_core(
                 k3, co, rm, le, m_, u_, r_, th, kk, cd, cg, ce, cr, dg,
                 dv, fm, d_lo=dl, w_grid=wg,
                 ext_tab=((ew, el) if he else None), bound=bd,
+                rc_inner=rc,
             )
 
         _fused_jit = jax.jit(
             impl,
             static_argnames=(
                 "kk", "cd", "cg", "ce", "cr", "dg", "dv", "fm", "dl",
-                "wg", "he",
+                "wg", "he", "rc",
             ),
         )
     return _fused_jit
@@ -481,6 +490,7 @@ def map_devref_fused(
             dg=bool(opts.fill_gaps), dv=bool(opts.call_variants),
             fm=bool(opts.format), dl=max(int(threshold) - 1, 0),
             wg=w_grid, he=ext_tab is not None,
+            rc=bool(getattr(opts.sbwt_build_opts, "add_revcomp", False)),
         )
         delta = np.asarray(delta4)  # THE one steady-state fetch
         crow = delta[3]
@@ -528,7 +538,7 @@ def devref_core(
     k: int, cap_d: int, cap_g: int, cap_ext: int, cap_r: int,
     do_gaps: bool, do_vars: bool, fmt: bool, d_lo: int = 0,
     w_grid: int | None = None, ext_tab=None, bound=None,
-    axis: str | None = None,
+    axis: str | None = None, rc_inner: bool = False,
 ):
     """The whole post-sweep refinement as ONE pure function over a [Q, L]
     contig block: postprocess -> variant resolution -> gap scoring ->
@@ -571,7 +581,12 @@ def devref_core(
         pos_grids.append(gpos)
         pv_grids.append(gpv)
     if do_vars:
-        seq_words = seq_keys3_tagged_core(codes, k)
+        if rc_inner:
+            from kbo_tpu.kernels.refine import with_revcomp_rows
+
+            seq_words = seq_keys3_tagged_core(with_revcomp_rows(codes), k)
+        else:
+            seq_words = seq_keys3_tagged_core(codes, k)
         vpos, vpv, n_var = resolve_variants_core(
             keys3, seq_words, codes, ref_mat, ms, lengths,
             pieces["drop_pos"], pieces["apos"], pieces["arow"],

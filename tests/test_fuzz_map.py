@@ -80,11 +80,9 @@ def _config(seed):
 
     bo = BuildOpts(k=k, build_select=True, add_revcomp=add_revcomp)
     mo = MapOpts(max_error_prob=p_err)
-    # revcomp inner indexes are excluded from the devref variant path by
-    # design (forward-text join tables); exercise them with variant
-    # calling off so both paths still run the full gap machinery
-    if add_revcomp:
-        mo.call_variants = False
+    # revcomp inner indexes run the devref variant path too: the
+    # rk-vs-seq join table extends with the reverse-complement windows
+    # (the reference's both-strand inner index, src/lib.rs:553)
     mo.sbwt_build_opts = bo
     return q_contigs, ref_contigs, bo, mo, p_err, k
 
