@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 from kbo_tpu import BuildOpts, build
+
+pytestmark = pytest.mark.slow  # 100kb seeded property runs (see CLAUDE.md)
 from kbo_tpu.refine.variant_calling import Variant, call_variants
 
 BASES = b"ACGT"

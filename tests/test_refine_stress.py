@@ -7,9 +7,12 @@ loop and the O(cache) interval-cache insert)."""
 import os
 
 import numpy as np
+import pytest
 
 from kbo_tpu import BuildOpts, MapOpts, build
 from kbo_tpu import api
+
+pytestmark = pytest.mark.slow  # heavyweight stress shapes (see CLAUDE.md)
 from kbo_tpu.utils.stats import get_stats, reset_stats
 
 
