@@ -43,6 +43,13 @@ STEP_ENV = {
     "map_mp0": {"KBO_TPU_MERGE_PATH": "0"},
     "fb_mp1": {},
     "fb_mp0": {"KBO_TPU_MERGE_PATH": "0"},
+    # all per-call-flag map configs in ONE process: an established relay
+    # connection survives the flap windows, so amortize it (the flags are
+    # read per call; only KBO_TPU_MERGE_PATH bakes into traces and still
+    # needs its own process)
+    "map_variants": {},
+    # per-stage sync budget of the devref map (checksum fetch per stage)
+    "stages": {},
 }
 
 
@@ -135,6 +142,173 @@ def main():
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "env": STEP_ENV[step],
     }
+
+    if step == "stages":
+        import numpy as np
+
+        from kbo_tpu import api, engine
+        from kbo_tpu.kernels.mapsweep import (
+            assemble_map_prio,
+            decode_packed4_encode_device,
+            fetch_delta_runs_extras,
+            map_postprocess3,
+            ms3_rows_sweep_chunked,
+            pack_ascii_host,
+        )
+        from kbo_tpu.kernels.refine import (
+            get_ext_table,
+            prob_bound,
+            resolve_variants,
+            score_gaps,
+            seq_keys3_tagged,
+        )
+
+        bo = BuildOpts(k=k, build_select=True)
+        mo = MapOpts()
+        mo.sbwt_build_opts = bo
+        # one warm e2e run compiles everything (cache-hit from the
+        # variants step) and gives the pipelined wall for comparison
+        t0 = time.time()
+        _ = api.map_(ref, index, mo)
+        warm0 = time.time() - t0
+        t0 = time.time()
+        _ = api.map_(ref, index, mo)
+        wall = time.time() - t0
+        dev = engine.device_index(index)
+        tiny = jax.jit(lambda x: jnp.sum(x))
+        _ = int(tiny(jnp.arange(128)))
+        t0 = time.time()
+        for _ in range(8):
+            _ = int(tiny(jnp.arange(128)))
+        rtt = (time.time() - t0) / 8
+
+        def sync(x):
+            return float(jnp.sum(x.reshape(-1)[:64].astype(jnp.int32)))
+
+        stage_t = {}
+
+        def mark(name, t0, arr):
+            _ = sync(arr)
+            stage_t[name] = round(max(time.time() - t0 - rtt, 0.0), 4)
+
+        L = 1 << (n - 1).bit_length()
+        from kbo_tpu.kernels.ms import _bucket
+
+        ref_mat = np.zeros((1, _bucket(n)), np.uint8)
+        ref_mat[0, :n] = np.frombuffer(ref, np.uint8)
+        lengths = np.asarray([n], np.int32)
+        thr = jnp.int32(threshold)
+
+        t0 = time.time()
+        packed_up = pack_ascii_host(ref_mat, lengths)
+        stage_t["pack_host"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        ref_dev, codes_dev = decode_packed4_encode_device(
+            jnp.asarray(packed_up[0]), jnp.asarray(packed_up[1]),
+            jnp.asarray(packed_up[2]), jnp.asarray(lengths),
+        )
+        mark("upload_decode", t0, codes_dev)
+        lengths_dev = jnp.asarray(lengths)
+        chunk = 2359296
+        t0 = time.time()
+        ms_d, uniq_d, rows_d = ms3_rows_sweep_chunked(
+            dev.keys3, dev.lcs3, codes_dev, k, chunk
+        )
+        mark("sweep_chunked", t0, ms_d)
+        cap_d = max(256, 1 << (int(ref_mat.shape[1]) // 1024 - 1).bit_length())
+        cap_g = max(256, 1 << (int(ref_mat.shape[1]) // 1536 - 1).bit_length())
+        w_grid = max(k - threshold + 1, 1)
+        t0 = time.time()
+        chars_d, packed_d, pieces = map_postprocess3(
+            ms_d, uniq_d, rows_d, lengths_dev, k, thr, cap_d, cap_g, w_grid
+        )
+        mark("postprocess", t0, chars_d)
+        t0 = time.time()
+        seq_words = seq_keys3_tagged(codes_dev, k=k)
+        mark("seq_key_sort", t0, seq_words[0])
+        t0 = time.time()
+        vpos, vpv, nv = resolve_variants(
+            dev.keys3, seq_words, codes_dev, jnp.asarray(ref_mat), ms_d,
+            lengths_dev, pieces["drop_pos"], pieces["apos"],
+            pieces["arow"], thr, k=k, cap_d=cap_d,
+            d_lo=max(threshold - 1, 0),
+        )
+        mark("resolve_variants", t0, vpos)
+        ext_tab = get_ext_table(dev)
+        cap_ext = max(256, 4 * cap_g)
+        t0 = time.time()
+        gpos, gpv, nh, gc = score_gaps(
+            dev.keys3, jnp.asarray(ref_mat), lengths_dev,
+            pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
+            thr, k=k, cap_ge=cap_g, cap_ext=cap_ext, ext_tab=ext_tab,
+            bound=prob_bound(1e-7),
+        )
+        mark("score_gaps", t0, gpos)
+        cap_r = 32768
+        t0 = time.time()
+        c2, rs, re_, rv = assemble_map_prio(
+            chars_d, ref_dev, lengths_dev, [gpos, vpos], [gpv, vpv],
+            True, cap_r,
+        )
+        mark("assemble", t0, rs)
+        t0 = time.time()
+        blk = np.asarray(
+            fetch_delta_runs_extras(
+                c2, rs, re_, rv, jnp.zeros(8, jnp.int32), cap_r
+            )
+        )
+        stage_t["fetch"] = round(time.time() - t0, 4)
+        rec.update(
+            warm_wall_s=round(wall, 4), first_s=round(warm0, 2),
+            rtt_ms=round(rtt * 1e3, 1), stages_sync_s=stage_t,
+            n_runs=int(blk[3, 0]),
+        )
+        print(json.dumps(rec), flush=True)
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        return
+
+    if step == "map_variants":
+        from kbo_tpu import api
+
+        bo = BuildOpts(k=k, build_select=True)
+        mo = MapOpts()
+        mo.sbwt_build_opts = bo
+        configs = [
+            ("default", {}),
+            ("fuse", {"KBO_TPU_MAP_FUSE_REFINE": "1"}),
+            ("singleshot", {"KBO_TPU_MAP_FUSED": "1"}),
+            ("fuse_ss", {"KBO_TPU_MAP_FUSE_REFINE": "1",
+                         "KBO_TPU_MAP_FUSED": "1"}),
+        ]
+        base_out = None
+        for name, env in configs:
+            for kk_ in ("KBO_TPU_MAP_FUSE_REFINE", "KBO_TPU_MAP_FUSED"):
+                os.environ.pop(kk_, None)
+            os.environ.update(env)
+            t0 = time.time()
+            out0 = api.map_(ref, index, mo)
+            first = time.time() - t0
+            if base_out is None:
+                base_out = out0
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                out = api.map_(ref, index, mo)
+                times.append(time.time() - t0)
+            r2 = dict(rec)
+            r2.update(
+                step=f"map_{name}", first_s=round(first, 2),
+                times_s=[round(t, 4) for t in times],
+                best_s=round(min(times), 4),
+                mbases_per_s=round(n / min(times) / 1e6, 2),
+                parity_vs_default=0 if out0 == base_out else 1,
+            )
+            print(json.dumps(r2), flush=True)
+            with open(OUT, "a") as fh:
+                fh.write(json.dumps(r2) + "\n")
+            log(f"{name}: first {first:.1f}s best {min(times):.3f}s")
+        return
 
     if step.startswith("map"):
         from kbo_tpu import api
