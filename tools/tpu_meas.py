@@ -121,7 +121,7 @@ def main():
 
     ref, query, index = build_or_load(n, k)  # host-only, before the probe
 
-    if not probe():
+    if os.environ.get("KBO_MEAS_FORCE", "0") != "1" and not probe():
         log("relay DOWN; exit 3")
         raise SystemExit(3)
 
@@ -191,73 +191,73 @@ def main():
             _ = sync(arr)
             stage_t[name] = round(max(time.time() - t0 - rtt, 0.0), 4)
 
-        L = 1 << (n - 1).bit_length()
         from kbo_tpu.kernels.ms import _bucket
 
         ref_mat = np.zeros((1, _bucket(n)), np.uint8)
         ref_mat[0, :n] = np.frombuffer(ref, np.uint8)
-        lengths = np.asarray([n], np.int32)
-        thr = jnp.int32(threshold)
+        for _pass in range(2):  # pass 0 warms traces; pass 1 records
+            lengths = np.asarray([n], np.int32)
+            thr = jnp.int32(threshold)
 
-        t0 = time.time()
-        packed_up = pack_ascii_host(ref_mat, lengths)
-        stage_t["pack_host"] = round(time.time() - t0, 4)
-        t0 = time.time()
-        ref_dev, codes_dev = decode_packed4_encode_device(
-            jnp.asarray(packed_up[0]), jnp.asarray(packed_up[1]),
-            jnp.asarray(packed_up[2]), jnp.asarray(lengths),
-        )
-        mark("upload_decode", t0, codes_dev)
-        lengths_dev = jnp.asarray(lengths)
-        chunk = 2359296
-        t0 = time.time()
-        ms_d, uniq_d, rows_d = ms3_rows_sweep_chunked(
-            dev.keys3, dev.lcs3, codes_dev, k, chunk
-        )
-        mark("sweep_chunked", t0, ms_d)
-        cap_d = max(256, 1 << (int(ref_mat.shape[1]) // 1024 - 1).bit_length())
-        cap_g = max(256, 1 << (int(ref_mat.shape[1]) // 1536 - 1).bit_length())
-        w_grid = max(k - threshold + 1, 1)
-        t0 = time.time()
-        chars_d, packed_d, pieces = map_postprocess3(
-            ms_d, uniq_d, rows_d, lengths_dev, k, thr, cap_d, cap_g, w_grid
-        )
-        mark("postprocess", t0, chars_d)
-        t0 = time.time()
-        seq_words = seq_keys3_tagged(codes_dev, k=k)
-        mark("seq_key_sort", t0, seq_words[0])
-        t0 = time.time()
-        vpos, vpv, nv = resolve_variants(
-            dev.keys3, seq_words, codes_dev, jnp.asarray(ref_mat), ms_d,
-            lengths_dev, pieces["drop_pos"], pieces["apos"],
-            pieces["arow"], thr, k=k, cap_d=cap_d,
-            d_lo=max(threshold - 1, 0),
-        )
-        mark("resolve_variants", t0, vpos)
-        ext_tab = get_ext_table(dev)
-        cap_ext = max(256, 4 * cap_g)
-        t0 = time.time()
-        gpos, gpv, nh, gc = score_gaps(
-            dev.keys3, jnp.asarray(ref_mat), lengths_dev,
-            pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
-            thr, k=k, cap_ge=cap_g, cap_ext=cap_ext, ext_tab=ext_tab,
-            bound=prob_bound(1e-7),
-        )
-        mark("score_gaps", t0, gpos)
-        cap_r = 32768
-        t0 = time.time()
-        c2, rs, re_, rv = assemble_map_prio(
-            chars_d, ref_dev, lengths_dev, [gpos, vpos], [gpv, vpv],
-            True, cap_r,
-        )
-        mark("assemble", t0, rs)
-        t0 = time.time()
-        blk = np.asarray(
-            fetch_delta_runs_extras(
-                c2, rs, re_, rv, jnp.zeros(8, jnp.int32), cap_r
+            t0 = time.time()
+            packed_up = pack_ascii_host(ref_mat, lengths)
+            stage_t["pack_host"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            ref_dev, codes_dev = decode_packed4_encode_device(
+                jnp.asarray(packed_up[0]), jnp.asarray(packed_up[1]),
+                jnp.asarray(packed_up[2]), jnp.asarray(lengths),
             )
-        )
-        stage_t["fetch"] = round(time.time() - t0, 4)
+            mark("upload_decode", t0, codes_dev)
+            lengths_dev = jnp.asarray(lengths)
+            chunk = 2359296
+            t0 = time.time()
+            ms_d, uniq_d, rows_d = ms3_rows_sweep_chunked(
+                dev.keys3, dev.lcs3, codes_dev, k, chunk
+            )
+            mark("sweep_chunked", t0, ms_d)
+            cap_d = max(256, 1 << (int(ref_mat.shape[1]) // 1024 - 1).bit_length())
+            cap_g = max(256, 1 << (int(ref_mat.shape[1]) // 1536 - 1).bit_length())
+            w_grid = max(k - threshold + 1, 1)
+            t0 = time.time()
+            chars_d, packed_d, pieces = map_postprocess3(
+                ms_d, uniq_d, rows_d, lengths_dev, k, thr, cap_d, cap_g, w_grid
+            )
+            mark("postprocess", t0, chars_d)
+            t0 = time.time()
+            seq_words = seq_keys3_tagged(codes_dev, k=k)
+            mark("seq_key_sort", t0, seq_words[0])
+            t0 = time.time()
+            vpos, vpv, nv = resolve_variants(
+                dev.keys3, seq_words, codes_dev, jnp.asarray(ref_mat), ms_d,
+                lengths_dev, pieces["drop_pos"], pieces["apos"],
+                pieces["arow"], thr, k=k, cap_d=cap_d,
+                d_lo=max(threshold - 1, 0),
+            )
+            mark("resolve_variants", t0, vpos)
+            ext_tab = get_ext_table(dev)
+            cap_ext = max(256, 4 * cap_g)
+            t0 = time.time()
+            gpos, gpv, nh, gc = score_gaps(
+                dev.keys3, jnp.asarray(ref_mat), lengths_dev,
+                pieces["gap_start"], pieces["gap_end_at"], pieces["grid"],
+                thr, k=k, cap_ge=cap_g, cap_ext=cap_ext, ext_tab=ext_tab,
+                bound=prob_bound(1e-7),
+            )
+            mark("score_gaps", t0, gpos)
+            cap_r = 32768
+            t0 = time.time()
+            c2, rs, re_, rv = assemble_map_prio(
+                chars_d, ref_dev, lengths_dev, [gpos, vpos], [gpv, vpv],
+                True, cap_r,
+            )
+            mark("assemble", t0, rs)
+            t0 = time.time()
+            blk = np.asarray(
+                fetch_delta_runs_extras(
+                    c2, rs, re_, rv, jnp.zeros(8, jnp.int32), cap_r
+                )
+            )
+            stage_t["fetch"] = round(time.time() - t0, 4)
         rec.update(
             warm_wall_s=round(wall, 4), first_s=round(warm0, 2),
             rtt_ms=round(rtt * 1e3, 1), stages_sync_s=stage_t,
