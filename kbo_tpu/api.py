@@ -588,7 +588,22 @@ def _map_batch_sparse(
                 os.environ.get("KBO_TPU_MAP_DEVREF", "1") != "0"
                 and Q <= max_tag(k)
             )
+            # single-contig maps reuse the sweep's internally sorted query
+            # window keys as the rk-vs-seq join table (the per-map-call
+            # genome-sized seq_keys3_tagged sort disappears; see
+            # kernels.ms.ms3_rows_core want_qtable). KBO_TPU_SEQ_REUSE=0
+            # restores the standalone sort for differential testing.
+            want_qt = (
+                use_devref
+                and opts.call_variants
+                and Q == 1
+                and not getattr(opts.sbwt_build_opts, "add_revcomp", False)
+                and os.environ.get("KBO_TPU_MAP_FUSE_REFINE", "0") != "1"
+                and os.environ.get("KBO_TPU_SEQ_REUSE", "1") != "0"
+            )
             ref_mat = ref_mat_dev = None
+            seq_tables = None
+            ms_dev = None
             if use_devref:
                 # ONE upload, 2-bit packed: the refinement/assembly
                 # stages need the raw reference bytes anyway, so ship a
@@ -597,7 +612,10 @@ def _map_batch_sparse(
                 # matrix on device, and derive the sweep codes from it
                 # (encode_ascii_device) -- ~1/8 of the naive two-array
                 # upload through the relay. Dense exceptions (soft-
-                # masked genomes) fall back to the raw upload.
+                # masked genomes) fall back to the raw upload. On the
+                # chunked sweep the upload is chunked along the SAME
+                # grid so pack/transfer of chunk c+1 overlap the sweep
+                # of chunk c (KBO_TPU_PIPE_UPLOAD=0 restores one-shot).
                 from kbo_tpu.kernels.mapsweep import (
                     decode_packed4_device,
                     encode_ascii_device,
@@ -609,21 +627,40 @@ def _map_batch_sparse(
                     ref_mat[q, : len(r)] = np.frombuffer(
                         bytes(r), dtype=np.uint8
                     )
-                packed_up = pack_ascii_host(ref_mat, lengths)
-                if packed_up is not None:
+                pipelined = None
+                if (
+                    use_chunked
+                    and os.environ.get("KBO_TPU_PIPE_UPLOAD", "1") != "0"
+                ):
                     from kbo_tpu.kernels.mapsweep import (
-                        decode_packed4_encode_device,
+                        upload_sweep_chunked_pipelined,
                     )
 
-                    ref_mat_dev, codes_dev = decode_packed4_encode_device(
-                        jnp.asarray(packed_up[0]),
-                        jnp.asarray(packed_up[1]),
-                        jnp.asarray(packed_up[2]),
-                        jnp.asarray(lengths),
+                    pipelined = upload_sweep_chunked_pipelined(
+                        dev.keys3, dev.lcs3, ref_mat, lengths, k, chunk,
+                        want_qtable=want_qt,
                     )
+                if pipelined is not None:
+                    (
+                        ref_mat_dev, codes_dev, ms_dev, uniq_dev, rows_dev,
+                        seq_tables,
+                    ) = pipelined
                 else:
-                    ref_mat_dev = jnp.asarray(ref_mat)
-                    codes_dev = encode_ascii_device(ref_mat_dev)
+                    packed_up = pack_ascii_host(ref_mat, lengths)
+                    if packed_up is not None:
+                        from kbo_tpu.kernels.mapsweep import (
+                            decode_packed4_encode_device,
+                        )
+
+                        ref_mat_dev, codes_dev = decode_packed4_encode_device(
+                            jnp.asarray(packed_up[0]),
+                            jnp.asarray(packed_up[1]),
+                            jnp.asarray(packed_up[2]),
+                            jnp.asarray(lengths),
+                        )
+                    else:
+                        ref_mat_dev = jnp.asarray(ref_mat)
+                        codes_dev = encode_ascii_device(ref_mat_dev)
             else:
                 codes_dev = jnp.asarray(get_codes())
             lengths_dev = jnp.asarray(lengths)
@@ -631,16 +668,24 @@ def _map_batch_sparse(
             # the join stage is cap-independent: the capacity-overflow
             # retry below reuses its device outputs and re-runs only the
             # postprocess stage
-            if use_chunked:
-                from kbo_tpu.kernels.mapsweep import ms3_rows_sweep_chunked
+            if ms_dev is None:
+                if use_chunked:
+                    from kbo_tpu.kernels.mapsweep import (
+                        ms3_rows_sweep_chunked,
+                    )
 
-                ms_dev, uniq_dev, rows_dev = ms3_rows_sweep_chunked(
-                    dev.keys3, dev.lcs3, codes_dev, k, chunk
-                )
-            else:
-                ms_dev, uniq_dev, rows_dev = ms3_rows_sweep(
-                    dev.keys3, dev.lcs3, codes_dev, k
-                )
+                    out_sweep = ms3_rows_sweep_chunked(
+                        dev.keys3, dev.lcs3, codes_dev, k, chunk,
+                        want_qtable=want_qt,
+                    )
+                else:
+                    out_sweep = ms3_rows_sweep(
+                        dev.keys3, dev.lcs3, codes_dev, k,
+                        want_qtable=want_qt,
+                    )
+                ms_dev, uniq_dev, rows_dev = out_sweep[:3]
+                if want_qt:
+                    seq_tables = out_sweep[3]
 
             # the gap-candidate window never exceeds k - threshold + 1
             # positions (kernels.mapsweep.map_postprocess3 docstring), so
@@ -694,6 +739,7 @@ def _map_batch_sparse(
                             cap_d, cap_g,
                             total_gap_slack=cap_g * 2 + 64,
                             ref_mat=ref_mat, ref_mat_dev=ref_mat_dev,
+                            seq_tables=seq_tables,
                         )
                     except DevRefOverflow as o:
                         # grow only the overflowed capacity (shrinking the

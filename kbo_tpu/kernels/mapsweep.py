@@ -61,12 +61,23 @@ def pack_ascii_host(ref_mat, lengths):
     (N runs, soft-masking, '$', ...). Returns None when L % 4 != 0 or
     the exceptions exceed L//16 (soft-masked genomes: the packed form
     would not pay for itself) -- the caller falls back to the raw
-    upload."""
+    upload. The hot loop runs in native code when the library is built
+    (csrc/pack.cpp, ~8x the numpy formulation below, which stays as the
+    fallback and differential reference; KBO_TPU_NATIVE_PACK=0 forces
+    numpy)."""
+    import os
+
     import numpy as np
 
     Q, L = ref_mat.shape
     if L % 4:
         return None
+    if os.environ.get("KBO_TPU_NATIVE_PACK", "1") != "0":
+        from kbo_tpu import native
+
+        out = native.pack_ascii(ref_mat, lengths)
+        if out is not None:
+            return out
     # one fused LUT pass: low 2 bits = base code, bit 7 = "not uppercase
     # ACGT" (a byte that must ride the exception list if in-length)
     lut = np.full(256, 0x80, dtype=np.uint8)
@@ -309,28 +320,36 @@ def fetch_candidates(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def ms3_rows_sweep(keys3, lcs3, codes, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "want_qtable"))
+def ms3_rows_sweep(keys3, lcs3, codes, k: int, want_qtable: bool = False):
     """Stage 1 of the fused map sweep: the 3-bit join over a [Q, L] batch,
     emitting device-resident per-position (ms, uniq, row). Split from the
     postprocess stage (:func:`map_postprocess3`) because XLA:TPU compile
     time is superlinear in program size -- the two halves compile in a
     fraction of the fused whole and the extra dispatch costs no fetch
-    (async dispatch; stage 2 consumes stage 1's device arrays)."""
+    (async dispatch; stage 2 consumes stage 1's device arrays).
+
+    ``want_qtable`` additionally returns ``[(words, limits)]``: the
+    sweep-sorted query window keys (kernels.ms.ms3_rows_core), reusable
+    as the rk-vs-seq join table for single-contig batches."""
     from kbo_tpu.kernels.ms import ms3_rows_core
 
     Q, L = codes.shape
     pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
     stride = L + k - 1
-    ms_f, uniq_f, row_f = ms3_rows_core(keys3, lcs3, buf, k)
+    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable)
+    ms_f, uniq_f, row_f = out[:3]
     ms = ms_f.reshape(Q, stride)[:, k - 1 :]
     uniq = uniq_f.reshape(Q, stride)[:, k - 1 :]
     rows = row_f.reshape(Q, stride)[:, k - 1 :]
+    if want_qtable:
+        return ms, uniq, rows, [out[3]]
     return ms, uniq, rows
 
 
-def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int):
+def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int,
+                           want_qtable: bool = False):
     """Sequence-chunked stage 1: the same (ms, uniq, row) outputs from
     fixed-shape sub-dispatches of ``chunk`` positions each.
 
@@ -344,6 +363,14 @@ def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int):
     Runtime trades table-side merge traffic: each sub-dispatch re-scans
     the n-row key table, so chunks should stay as large as the slot
     budget allows.
+
+    ``want_qtable`` additionally returns the per-chunk sorted query-key
+    tables ``[(words, limits), ...]`` (kernels.ms.ms3_rows_core): every
+    true window of the sequence appears with full k-1 context in exactly
+    one chunk's buffer, and a context-region duplicate can only carry a
+    truncated (<=) key/limit, so a max over per-chunk joins against
+    these tables is exact -- the same argument as the sequence-sharded
+    rk-vs-seq join (kernels.refine.resolve_variants_core ``seq_axis``).
     """
     Q, L = codes.shape
     n_chunks = (L + chunk - 1) // chunk
@@ -363,28 +390,96 @@ def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int):
             _ms3_rows_chunk(
                 keys3, lcs3,
                 jnp.concatenate([ctx, codes[:, lo : lo + chunk]], axis=1),
-                k,
+                k, want_qtable,
             )
         )
     ms = jnp.concatenate([p[0] for p in parts], axis=1)[:, :L]
     uniq = jnp.concatenate([p[1] for p in parts], axis=1)[:, :L]
     rows = jnp.concatenate([p[2] for p in parts], axis=1)[:, :L]
+    if want_qtable:
+        return ms, uniq, rows, [p[3] for p in parts]
     return ms, uniq, rows
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int):
+def upload_sweep_chunked_pipelined(keys3, lcs3, ref_mat, lengths, k: int,
+                                   chunk: int, want_qtable: bool = False):
+    """Chunked stage 1 with the UPLOAD chunked too: pack + ship chunk c+1
+    while the device sweeps chunk c.
+
+    The map upload (packed reference -> decode+encode) and the sweep are
+    serial in the one-shot formulation: ~0.04 s of host pack + host->device
+    transfer sit in front of the first sweep dispatch at 4.6M through the
+    relay. Splitting both along the SAME chunk grid pipelines them: each
+    chunk's decode/sweep dispatches are async, so the host immediately
+    packs and ships the next chunk while the device works. Per-chunk
+    geometry is exact: in-chunk lengths clip the row lengths into the
+    slice, beyond-length positions decode to 0 -> INVALID codes, matching
+    the unchunked arrays byte-for-byte; sweep context is the previous
+    chunk's device-resident last k-1 codes.
+
+    Returns (ref_mat_dev [Q, L], codes_dev [Q, L], ms, uniq, rows,
+    qtables-or-None) or None when the packed upload does not apply
+    (caller falls back to the one-shot upload)."""
+    Q, L = ref_mat.shape
+    if L % 4 or chunk % 4:
+        return None
+    n_chunks = (L + chunk - 1) // chunk
+    lens = np.asarray(lengths)
+    ref_parts, code_parts, sweeps = [], [], []
+    for c in range(n_chunks):
+        lo = c * chunk
+        hi = min(lo + chunk, L)
+        sl = ref_mat[:, lo:hi]
+        if hi - lo < chunk:
+            sl = np.pad(sl, ((0, 0), (0, chunk - (hi - lo))))
+        sl = np.ascontiguousarray(sl)
+        in_chunk_lens = np.clip(lens - lo, 0, chunk).astype(lens.dtype)
+        packed_up = pack_ascii_host(sl, in_chunk_lens)
+        if packed_up is None:
+            return None  # dense exceptions: one-shot raw upload instead
+        r_dev, c_dev = decode_packed4_encode_device(
+            jnp.asarray(packed_up[0]), jnp.asarray(packed_up[1]),
+            jnp.asarray(packed_up[2]), jnp.asarray(in_chunk_lens),
+        )
+        if c == 0:
+            ctx = jnp.full((Q, k - 1), INVALID, jnp.uint8)
+        else:
+            ctx = code_parts[-1][:, -(k - 1):]
+        ref_parts.append(r_dev)
+        code_parts.append(c_dev)
+        sweeps.append(
+            _ms3_rows_chunk(
+                keys3, lcs3, jnp.concatenate([ctx, c_dev], axis=1), k,
+                want_qtable,
+            )
+        )
+    ref_mat_dev = jnp.concatenate(ref_parts, axis=1)[:, :L]
+    codes_dev = jnp.concatenate(code_parts, axis=1)[:, :L]
+    ms = jnp.concatenate([p[0] for p in sweeps], axis=1)[:, :L]
+    uniq = jnp.concatenate([p[1] for p in sweeps], axis=1)[:, :L]
+    rows = jnp.concatenate([p[2] for p in sweeps], axis=1)[:, :L]
+    qtables = [p[3] for p in sweeps] if want_qtable else None
+    return ref_mat_dev, codes_dev, ms, uniq, rows, qtables
+
+
+@functools.partial(jax.jit, static_argnames=("k", "want_qtable"))
+def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int,
+                    want_qtable: bool = False):
     """One fixed-shape chunk of :func:`ms3_rows_sweep_chunked`:
     ctx_codes = [Q, (k-1) + chunk] (context + chunk positions); returns
-    (ms, uniq, rows) for the chunk positions only."""
+    (ms, uniq, rows) for the chunk positions only (the qtable, when
+    requested, covers ALL buffer positions -- context windows stay)."""
     from kbo_tpu.kernels.ms import ms3_rows_core
 
     Q, W = ctx_codes.shape
     buf = ctx_codes.reshape(-1)
-    ms_f, uniq_f, row_f = ms3_rows_core(keys3, lcs3, buf, k)
+    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable)
+    ms_f, uniq_f, row_f = out[:3]
     ms = ms_f.reshape(Q, W)[:, k - 1 :]
     uniq = uniq_f.reshape(Q, W)[:, k - 1 :]
     rows = row_f.reshape(Q, W)[:, k - 1 :]
+    if want_qtable:
+        return ms, uniq, rows, out[3]
     return ms, uniq, rows
 
 

@@ -430,7 +430,7 @@ def _neighbor_best(
 
 
 def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
-                ref_sorted=True, ref_hi24=None):
+                ref_sorted=True, ref_hi24=None, q_aux=None):
     """Shared packed merge + directional clamped-LCP scans.
 
     Packs ref/query slots into the single uint32 payload (see
@@ -446,6 +446,14 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
     adjacent-row LCS pair there). Callers that read the high bits of
     reference slots (none today beyond is_ref, which keys off the low
     byte) must agree on the layout.
+
+    ``q_aux`` (int32 [L]) requests the QUERY-SIDE SORTED TABLE as an
+    extra output: the return grows to (sw, spacked, f, b, (q_sorted_words,
+    q_aux_sorted)). On the Pallas-merge path the query side is radix-
+    sorted anyway (the merge needs it), so the table is free -- the map
+    pipeline reuses it as the rk-vs-seq join table instead of re-sorting
+    the sequence's window keys (kernels/refine.py resolve_variants).
+    Elsewhere it costs one extra payload operand / one extra sort.
     """
     W = len(ref_words)
     if ref_hi24 is None:
@@ -455,10 +463,15 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
             jnp.uint32
         )
     q_packed = (q_meta.astype(jnp.uint32) << 8) | jnp.uint32(0xFF)
+    qtable = None
     if ref_sorted and _use_pallas_merge():
         import os
 
-        q_ops = _radix_sort(list(q_words) + [q_packed], W)
+        q_extra = [] if q_aux is None else [q_aux]
+        q_ops = _radix_sort(list(q_words) + [q_packed] + q_extra, W)
+        if q_aux is not None:
+            qtable = (tuple(q_ops[:W]), q_ops[W + 1])
+            q_ops = q_ops[: W + 1]
         if os.environ.get("KBO_TPU_MERGE_PATH", "1") != "0":
             # exact-size merge: the padded bitonic cascade processes up to
             # 2x phantom elements (pow2 padding; the find shape pads 9.4M
@@ -484,6 +497,9 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
         spacked = jnp.concatenate([ref_packed, q_packed])
         ops = _radix_sort(sw + [spacked], W)
         sw, spacked = ops[:W], ops[W]
+        if q_aux is not None:  # no standalone query sort here: pay for one
+            qt_ops = _radix_sort(list(q_words) + [q_aux], W)
+            qtable = (tuple(qt_ops[:W]), qt_ops[W])
     capbyte = spacked & jnp.uint32(0xFF)
     cap = jnp.where(capbyte == 0xFF, jnp.int32(-1), capbyte.astype(jnp.int32))
     if _use_pallas_merge() and sw[0].shape[0] % (1 << 16) == 0:
@@ -494,6 +510,8 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
     else:
         f = _clamp_scan_jnp(_edge_lcp(sw, common_fn, False), cap, False)
         b = _clamp_scan_jnp(_edge_lcp(sw, common_fn, True), cap, True)
+    if q_aux is not None:
+        return sw, spacked, f, b, qtable
     return sw, spacked, f, b
 
 
@@ -541,7 +559,23 @@ def lcs3_from_keys3(keys3, k: int):
 _lcs3_jit = jax.jit(lcs3_from_keys3, static_argnames=("k",))
 
 
-def _rows_scan_pieces(keys3, lcs3, buf, k: int):
+def window_limits(buf, k: int):
+    """int32 [T]: min(k, length of the valid-char run ending at p) -- the
+    per-window cap under which the sweep's pad-7 query keys are an EXACT
+    stand-in for the pad-5 sequence-index keys (see
+    :func:`seq_table_equivalence` note below): a capped LCP can only be
+    inflated past the table window's real suffix by pad-7-vs-pad-7
+    matches, and those require the probe's real suffix to be at least as
+    long -- in which case the clamp at the run length returns exactly the
+    pad-5 value."""
+    T = buf.shape[0]
+    valid = (buf >= 1) & (buf <= 4)
+    idx = jnp.arange(T, dtype=jnp.int32)
+    last_bad = _doubling_cummax(jnp.where(valid, jnp.int32(-1), idx))
+    return jnp.minimum(jnp.int32(k), idx - last_bad)
+
+
+def _rows_scan_pieces(keys3, lcs3, buf, k: int, want_qtable: bool = False):
     """Shared merge + scans of the rows join: per merged slot, the
     directional clamped LCPs, the nearest-left row index, and the
     adjacent-row LCS values at the prospective block edges.
@@ -569,9 +603,16 @@ def _rows_scan_pieces(keys3, lcs3, buf, k: int):
     ref_hi24 = (
         lcs3.astype(jnp.uint32) | (lcs_up.astype(jnp.uint32) << 7)
     )
-    sw, spacked, f, b = _merge_scan(
-        ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
-    )
+    if want_qtable:
+        sw, spacked, f, b, qtable = _merge_scan(
+            ref_words, ref_cap, q_words, meta, 3, _common3,
+            ref_hi24=ref_hi24, q_aux=window_limits(buf, k),
+        )
+    else:
+        qtable = None
+        sw, spacked, f, b = _merge_scan(
+            ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
+        )
     is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
     # nearest reference row on each side (colex index = rank among rows);
     # with uniform caps the nearest row attains the best lcp, so the side
@@ -585,7 +626,7 @@ def _rows_scan_pieces(keys3, lcs3, buf, k: int):
     )
     near_down = jnp.maximum(_carry_nearest(down_slot, reverse=False), 0)
     near_up = jnp.maximum(_carry_nearest(up_slot, reverse=True), 0)
-    return sw, spacked, is_ref, f, b, xl, near_down, near_up
+    return sw, spacked, is_ref, f, b, xl, near_down, near_up, qtable
 
 
 def ms3_rows_partial_core(keys3, lcs_down, lcs_up_next, row_offset, buf,
@@ -693,7 +734,7 @@ def ms3_rows_from_packed(fpack, bpack, n_rows, k: int):
     return ms, uniq, x
 
 
-def ms3_rows_core(keys3, lcs3, buf, k: int):
+def ms3_rows_core(keys3, lcs3, buf, k: int, want_qtable: bool = False):
     """(ms, uniq, row) for EVERY buffer position via ONE 3-bit join.
 
     The colex interval of position i's matched suffix (length ms[i]) has
@@ -707,9 +748,13 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     Returns (ms int32 [T] in [0, k], uniq bool [T], row int32 [T] = the
     colex row of the unique match, valid where uniq). Differential
     reference: engine.compute_ms_intervals_at (floor/ceil counting).
+
+    ``want_qtable`` appends the sorted query-side window keys + per-window
+    caps ((words, limits), see :func:`_merge_scan`): the free by-product
+    the map path reuses as its rk-vs-seq join table.
     """
-    sw, spacked, is_ref, f, b, xl, near_down, near_up = _rows_scan_pieces(
-        keys3, lcs3, buf, k
+    sw, spacked, is_ref, f, b, xl, near_down, near_up, qtable = (
+        _rows_scan_pieces(keys3, lcs3, buf, k, want_qtable)
     )
     n = keys3.shape[1]
     T = buf.shape[0]
@@ -742,6 +787,8 @@ def ms3_rows_core(keys3, lcs3, buf, k: int):
     ms = ((out >> 1) & jnp.uint32(0x7F)).astype(jnp.int32)
     uniq = (out & 1).astype(bool)
     row = (out >> 8).astype(jnp.int32)
+    if want_qtable:
+        return ms, uniq, row, qtable
     return ms, uniq, row
 
 

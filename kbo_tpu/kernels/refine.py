@@ -647,6 +647,7 @@ def resolve_variants_core(
     axis: str | None = None,
     d_lo: int = 0,
     seq_axis: str | None = None,
+    seq_tables=None,
 ):
     """Variant patches for every anchored MS drop, fully on device.
 
@@ -672,6 +673,18 @@ def resolve_variants_core(
     true window is owned by exactly one shard and a chunk-local
     duplicate (a window ending in the context region, left-padded) can
     only score <= the owning shard's exact value, so the max is exact.
+
+    ``seq_tables`` (single-contig only) replaces ``seq_words`` with the
+    sweep's OWN sorted query-key tables ``[(words, limits), ...]``
+    (kernels.ms.ms3_rows_core ``want_qtable``): the rk-vs-seq join runs
+    per chunk table with a max across chunks, and the whole
+    seq_keys3_tagged sort -- a genome-sized radix sort per map call --
+    disappears. Equivalence of the pad-7 keys under per-window caps:
+    a capped LCP can only be inflated past a table window's real run
+    length v by pad-7-vs-pad-7 matches, which require every one of the
+    window's v real chars to match first, and min(lcp, v) then returns
+    exactly the pad-5 value (kernels.ms.window_limits). Exactness of
+    the per-chunk max is the ``seq_axis`` argument above.
     """
     Q, L = codes.shape
     S = Q * cap_d
@@ -727,18 +740,27 @@ def resolve_variants_core(
         for w in p_words_all
     ]
     meta = jnp.arange(S * kp, dtype=jnp.int32)
-    n_seq = seq_words[0].shape[0]
-    if Q > 1:
-        # leading tag word (see _TAG_PAD): probes join only their own
-        # contig's windows; caps and the result shift by the tag word's
-        # +10-chunk contribution
-        lane = jax.lax.broadcasted_iota(jnp.int32, (S, kp), 0).reshape(-1)
-        p_tag = (lane // jnp.int32(cap_d)).astype(jnp.uint32)
-        p_words = [p_tag] + p_words
-        cap_seq = jnp.full((n_seq,), kk + jnp.int32(_TAG_PAD))
+    if seq_tables is not None:
+        assert Q == 1, "sweep-table reuse is single-contig (no tag word)"
+        c = None
+        for tw, tlim in seq_tables:
+            ct = _neighbor_best(
+                list(tw), tlim.astype(jnp.int32), p_words, meta, _common3
+            )
+            c = ct if c is None else jnp.maximum(c, ct)
     else:
-        cap_seq = jnp.full((n_seq,), kk)
-    c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
+        n_seq = seq_words[0].shape[0]
+        if Q > 1:
+            # leading tag word (see _TAG_PAD): probes join only their own
+            # contig's windows; caps and the result shift by the tag word's
+            # +10-chunk contribution
+            lane = jax.lax.broadcasted_iota(jnp.int32, (S, kp), 0).reshape(-1)
+            p_tag = (lane // jnp.int32(cap_d)).astype(jnp.uint32)
+            p_words = [p_tag] + p_words
+            cap_seq = jnp.full((n_seq,), kk + jnp.int32(_TAG_PAD))
+        else:
+            cap_seq = jnp.full((n_seq,), kk)
+        c = _neighbor_best(list(seq_words), cap_seq, p_words, meta, _common3)
     if seq_axis is not None:
         c = jax.lax.pmax(c, seq_axis)
     if Q > 1:

@@ -93,6 +93,12 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
             fn.restype = ctypes.c_int64
+    if hasattr(lib, "kbo_pack_ascii"):  # added in round 5
+        lib.kbo_pack_ascii.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p,
+            u8p, i64p, u8p, ctypes.c_int64,
+        ]
+        lib.kbo_pack_ascii.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -181,6 +187,42 @@ def build_arrays(codes: np.ndarray, k: int):
         "bits": bits, "cum": cum, "C": C, "lcs": lcs, "row_pos": row_pos,
         "text": buf, "n_rows": n_rows, "n_words": n_words,
     }
+
+
+def pack_ascii(ref_mat: np.ndarray, lengths):
+    """Native twin of kernels.mapsweep.pack_ascii_host: identical output
+    contract ((packed4 [Q, L//4], exc_pos int32 pow2-padded, exc_byte) or
+    None when L % 4 != 0 / exceptions exceed the paying threshold), or
+    None when the native library is unavailable (caller falls back to the
+    numpy formulation)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "kbo_pack_ascii"):
+        return None
+    ref_mat = np.ascontiguousarray(ref_mat, dtype=np.uint8)
+    Q, L = ref_mat.shape
+    if L % 4:
+        return None
+    lens = np.ascontiguousarray(np.asarray(lengths)[:Q], dtype=np.int32)
+    max_e = max(64, Q * L // 16)
+    packed4 = np.empty((Q, L // 4), dtype=np.uint8)
+    exc_pos = np.empty(max_e, dtype=np.int64)
+    exc_byte = np.empty(max_e, dtype=np.uint8)
+    n_exc = int(
+        lib.kbo_pack_ascii(
+            ref_mat.reshape(-1), Q, L, lens, packed4.reshape(-1),
+            exc_pos, exc_byte, max_e,
+        )
+    )
+    if n_exc < 0 or n_exc > max_e:
+        return None
+    cap_e = 64
+    while cap_e < n_exc:
+        cap_e <<= 1
+    pos_pad = np.full(cap_e, Q * L, dtype=np.int32)
+    byte_pad = np.zeros(cap_e, dtype=np.uint8)
+    pos_pad[:n_exc] = exc_pos[:n_exc]
+    byte_pad[:n_exc] = exc_byte[:n_exc]
+    return packed4, pos_pad, byte_pad
 
 
 def map_e2e(index, ref_seq: bytes, threshold: int, max_error_prob: float):

@@ -105,6 +105,7 @@ def map_devref_finish(
     total_gap_slack: int,
     ref_mat=None,
     ref_mat_dev=None,
+    seq_tables=None,
 ):
     """Run the device refinement + assembly and reconstruct the output.
 
@@ -221,15 +222,17 @@ def map_devref_finish(
                 mesh=seq_mesh, d_lo=d_lo,
             )
         else:
-            if getattr(opts.sbwt_build_opts, "add_revcomp", False):
-                # the inner sequence index would carry BOTH strands
-                # (reference src/lib.rs:553 reuses the BuildOpts): join
-                # rk against forward + revcomp windows
-                from kbo_tpu.kernels.refine import seq_keys3_tagged_rc
+            seq_words = None
+            if seq_tables is None:
+                if getattr(opts.sbwt_build_opts, "add_revcomp", False):
+                    # the inner sequence index would carry BOTH strands
+                    # (reference src/lib.rs:553 reuses the BuildOpts): join
+                    # rk against forward + revcomp windows
+                    from kbo_tpu.kernels.refine import seq_keys3_tagged_rc
 
-                seq_words = seq_keys3_tagged_rc(codes_dev, k=k)
-            else:
-                seq_words = seq_keys3_tagged(codes_dev, k=k)
+                    seq_words = seq_keys3_tagged_rc(codes_dev, k=k)
+                else:
+                    seq_words = seq_keys3_tagged(codes_dev, k=k)
             vpos, vpv, n_var_dev = resolve_variants(
                 dev.keys3,
                 seq_words,
@@ -244,6 +247,7 @@ def map_devref_finish(
                 k=k,
                 cap_d=cap_d,
                 d_lo=d_lo,
+                seq_tables=seq_tables,
             )
         pos_grids.append(vpos)
         pv_grids.append(vpv)

@@ -111,6 +111,79 @@ def test_devref_option_combinations(fill_gaps, call_variants, fmt):
     assert host == dev
 
 
+def test_native_pack_matches_numpy():
+    """csrc/pack.cpp must reproduce the numpy pack_ascii_host output
+    bit-for-bit (packed nibbles, exception order, dtypes, pow2 padding),
+    including N runs, soft-masked bases, '$' and tail padding."""
+    from kbo_tpu import native
+    from kbo_tpu.kernels.mapsweep import pack_ascii_host
+
+    if not native.available() or native.pack_ascii(
+        np.zeros((1, 4), np.uint8), np.asarray([4], np.int32)
+    ) is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    L = 8192
+    mat = np.zeros((3, L), np.uint8)
+    lens = np.asarray([L, 5000, 1], np.int32)
+    for q in range(3):
+        mat[q, : lens[q]] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, lens[q])
+        ]
+    mat[0, 100:140] = ord("N")
+    mat[0, 200:204] = np.frombuffer(b"acgt", np.uint8)
+    mat[1, 4990] = ord("$")
+    mat[1, 5001] = ord("N")  # beyond the row length: not an exception
+    env = os.environ
+    try:
+        env["KBO_TPU_NATIVE_PACK"] = "0"
+        a = pack_ascii_host(mat, lens)
+        env["KBO_TPU_NATIVE_PACK"] = "1"
+        b = pack_ascii_host(mat, lens)
+    finally:
+        env.pop("KBO_TPU_NATIVE_PACK", None)
+    assert a is not None and b is not None
+    for x, y in zip(a, b):
+        assert x.dtype == y.dtype and x.shape == y.shape
+        assert np.array_equal(x, y)
+
+
+@pytest.mark.parametrize("chunk", [0, 16384])
+def test_seq_table_reuse_matches_standalone_sort(chunk):
+    """KBO_TPU_SEQ_REUSE=1 (rk-vs-seq join against the sweep's own sorted
+    query keys, kernels.ms.ms3_rows_core want_qtable) must be byte-
+    identical to the standalone seq_keys3_tagged sort -- including with
+    N runs in the reference (INVALID codes exercise the per-window
+    caps that replace the pad-5 key semantics)."""
+    k = 31
+    ref, query = _pair(50_000, k, seed=13)
+    ref = bytearray(ref)
+    ref[30_000 : 30_011] = b"N" * 11  # windows with truncated valid runs
+    ref = bytes(ref)
+    bo = BuildOpts(k=k, build_select=True)
+    index = build([query], bo)
+    mo = MapOpts()
+    mo.sbwt_build_opts = bo
+    env = os.environ
+    old = {kk: env.get(kk) for kk in
+           ("KBO_TPU_MAP_FUSED", "KBO_TPU_MAP_CHUNK", "KBO_TPU_SEQ_REUSE")}
+    try:
+        env["KBO_TPU_MAP_FUSED"] = "1"
+        if chunk:
+            env["KBO_TPU_MAP_CHUNK"] = str(chunk)
+        env["KBO_TPU_SEQ_REUSE"] = "0"
+        base = api.map_(ref, index, mo)
+        env["KBO_TPU_SEQ_REUSE"] = "1"
+        reuse = api.map_(ref, index, mo)
+    finally:
+        for kk, v in old.items():
+            if v is None:
+                env.pop(kk, None)
+            else:
+                env[kk] = v
+    assert base == reuse
+
+
 def test_devref_insertion_variants():
     # insertions in the query relative to ref (ref has extra bases
     # relative to the indexed query -> deletion side) and the reverse
