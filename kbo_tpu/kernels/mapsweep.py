@@ -179,17 +179,29 @@ def _compact_row(mask, idx):
 
 def _compact_mask_capped(mask, idx, cap: int):
     """First `cap` set positions of ``mask`` in ascending order, padded
-    with BIG: exclusive-rank scatter instead of a full-length sort (one
-    cumsum + one scatter; the [Q*L]-wide ``lax.sort`` compactions
-    dominated the postprocess/assemble stages on TPU). Ranks are unique
-    where the mask is set, so the scatter is deterministic; set
-    positions beyond ``cap`` and masked-off lanes land out of range and
-    drop."""
+    with BIG: one cumsum + ``cap`` binary searches (slot j holds the
+    position of the (j+1)-th set bit = the first index whose inclusive
+    cumsum reaches j+1). Candidates are sparse (~1/kb) while the mask is
+    genome-wide, so cap * log2(L) gather steps beat anything that
+    touches all L slots: the full-width rank SCATTER this replaces
+    measured 26 ms vs 7.5 ms at 4.6M/cap=8k on TPU v5e, and the
+    [Q*L]-wide ``lax.sort`` compaction before it was worse still
+    (gather/scatter volume is what the hardware pays for, BASELINE.md).
+    ``KBO_TPU_COMPACT=scatter`` restores the scatter for measurement."""
+    import os
+
     m32 = mask.astype(jnp.int32)
-    rank = jnp.cumsum(m32) - m32
-    tgt = jnp.where(mask, rank, jnp.int32(cap))
-    out = jnp.full(cap, _BIG32, jnp.int32)
-    return out.at[tgt].set(idx.astype(jnp.int32), mode="drop")
+    if os.environ.get("KBO_TPU_COMPACT", "search") == "scatter":
+        rank = jnp.cumsum(m32) - m32
+        tgt = jnp.where(mask, rank, jnp.int32(cap))
+        out = jnp.full(cap, _BIG32, jnp.int32)
+        return out.at[tgt].set(idx.astype(jnp.int32), mode="drop")
+    cs = jnp.cumsum(m32)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.searchsorted(cs, j + 1, side="left").astype(jnp.int32)
+    valid = j < cs[-1]
+    safe = jnp.minimum(pos, jnp.int32(idx.shape[0] - 1))
+    return jnp.where(valid, idx[safe].astype(jnp.int32), _BIG32)
 
 
 def _next_nondash(is_dash, idx, length):

@@ -139,36 +139,98 @@ def pack_windows_3bit(buf, k: int, pad_chunk: int = 7):
 # ------------------------------------------------------- scan primitives
 
 
+_SCAN_BLOCK = 1024
+
+
 def _doubling_cummax(x):
-    """Inclusive left-to-right cummax, log-depth, compile-light."""
+    """Inclusive left-to-right cummax: two-level (within-block doubling +
+    block-total prefix + one combine), log2(S) + 1 full-length passes
+    instead of log2(L) -- the flat doubling paid 23 passes at 4.6M."""
     L = x.shape[0]
     lowest = jnp.iinfo(x.dtype).min
+    if L <= 4 * _SCAN_BLOCK:
+        s = 1
+        while s < L:
+            shifted = jnp.concatenate(
+                [jnp.full((s,), lowest, x.dtype), x[:-s]]
+            )
+            x = jnp.maximum(x, shifted)
+            s <<= 1
+        return x
+    S = _SCAN_BLOCK
+    B = -(-L // S)
+    pad = B * S - L
+    xb = jnp.concatenate([x, jnp.full((pad,), lowest, x.dtype)]).reshape(B, S)
     s = 1
-    while s < L:
-        shifted = jnp.concatenate([jnp.full((s,), lowest, x.dtype), x[:-s]])
-        x = jnp.maximum(x, shifted)
+    while s < S:
+        shifted = jnp.concatenate(
+            [jnp.full((B, s), lowest, x.dtype), xb[:, :-s]], axis=1
+        )
+        xb = jnp.maximum(xb, shifted)
         s <<= 1
-    return x
+    tot = xb[:, -1]  # block maxima
+    tot_x = jnp.concatenate([jnp.full((1,), lowest, x.dtype), tot[:-1]])
+    s = 1
+    while s < B:
+        shifted = jnp.concatenate(
+            [jnp.full((s,), lowest, x.dtype), tot_x[:-s]]
+        )
+        tot_x = jnp.maximum(tot_x, shifted)
+        s <<= 1
+    return jnp.maximum(xb, tot_x[:, None]).reshape(B * S)[:L]
 
 
 def _carry_nearest(v, reverse: bool):
     """Propagate the nearest source value (entries >= 0) to every slot,
-    inclusive, log-depth. -1 marks non-source slots; slots with no source
-    on the scan side keep -1."""
+    inclusive. -1 marks non-source slots; slots with no source on the
+    scan side keep -1. Two-level like :func:`_doubling_cummax` (the
+    combine keeps a slot's own nearest source when one exists inside its
+    block -- take-first-set is associative)."""
     L = v.shape[0]
+
+    def flat(v):
+        s = 1
+        while s < v.shape[-1]:
+            if reverse:
+                shifted = jnp.concatenate(
+                    [v[..., s:], jnp.full(v.shape[:-1] + (s,), -1, v.dtype)],
+                    axis=-1,
+                )
+            else:
+                shifted = jnp.concatenate(
+                    [jnp.full(v.shape[:-1] + (s,), -1, v.dtype), v[..., :-s]],
+                    axis=-1,
+                )
+            v = jnp.where(v >= 0, v, shifted)
+            s <<= 1
+        return v
+
+    if L <= 4 * _SCAN_BLOCK:
+        return flat(v)
+    S = _SCAN_BLOCK
+    B = -(-L // S)
+    pad = B * S - L
+    vb = jnp.concatenate([v, jnp.full((pad,), -1, v.dtype)]).reshape(B, S)
+    vb = flat(vb)
+    tot = vb[:, 0] if reverse else vb[:, -1]  # nearest source per block
+    if reverse:
+        tot_x = jnp.concatenate([tot[1:], jnp.full((1,), -1, tot.dtype)])
+    else:
+        tot_x = jnp.concatenate([jnp.full((1,), -1, tot.dtype), tot[:-1]])
     s = 1
-    while s < L:
+    while s < B:
         if reverse:
             shifted = jnp.concatenate(
-                [v[s:], jnp.full((s,), -1, v.dtype)]
+                [tot_x[s:], jnp.full((s,), -1, tot.dtype)]
             )
         else:
             shifted = jnp.concatenate(
-                [jnp.full((s,), -1, v.dtype), v[:-s]]
+                [jnp.full((s,), -1, tot.dtype), tot_x[:-s]]
             )
-        v = jnp.where(v >= 0, v, shifted)
+        tot_x = jnp.where(tot_x >= 0, tot_x, shifted)
         s <<= 1
-    return v
+    out = jnp.where(vb >= 0, vb, tot_x[:, None])
+    return out.reshape(B * S)[:L]
 
 
 _IDA = 2**31 - 1

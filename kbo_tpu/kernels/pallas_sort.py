@@ -66,47 +66,55 @@ def _cross_stage_kernel(n_comps, n_ops, *refs):
         out_refs[i][0, 1, 0] = jnp.where(swap, lo[i], hi[i])
 
 
+def _asc_stage(ops, s, n_comps, rows):
+    """One ASCENDING half-cleaner stage, element distance s, over
+    [rows, 128] tiles: ONE lexicographic compare per stage.
+
+    The pair (i, i+s) decides once -- swap iff x[i] > x[i+s] -- and both
+    positions consume the same bit, so the second full n_comps-word
+    compare of the naive formulation (one per side) is replaced by
+    computing the kept (min) and given (max) values at the lo lanes and
+    rolling the given values down to the hi lanes. Rolls are cyclic;
+    wrapped lanes are never consumed (a lo lane with i + s out of tile
+    cannot exist: the pairing distance is a power of two dividing the
+    tile, and hi lanes always have i - s >= 0)."""
+    if s >= _LANES:
+        sr = s // _LANES
+        # int32 shift operands: tpu.dynamic_rotate rejects i64 scalars,
+        # and Python ints weaken to i64 when jax_enable_x64 is on
+        idx = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 0)
+        bit = sr
+        down = [pltpu.roll(o, jnp.int32(rows - sr), axis=0) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops]
+        roll_up = lambda o: pltpu.roll(o, jnp.int32(sr), axis=0)
+    else:
+        idx = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 1)
+        bit = s
+        down = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
+        up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
+        roll_up = lambda o: pltpu.roll(o, jnp.int32(s), axis=1)
+    is_lo = (idx & bit) == 0
+    swap = _lex_gt(ops, down, n_comps)  # pair decision, at the lo lanes
+    # the hi partner consumes the SAME decision bit, rolled up -- the
+    # second full n_comps-word lex compare of the naive formulation is a
+    # single roll of the decision (as int32: Mosaic's dynamic_rotate has
+    # no i1 lowering, and select_n has no i1-VALUED form either, hence
+    # the logic-op combine)
+    swap32 = swap.astype(jnp.int32)
+    take_other = (is_lo & swap) | (~is_lo & (roll_up(swap32) != 0))
+    other = [jnp.where(is_lo, d, u) for d, u in zip(down, up)]
+    return [
+        jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)
+    ]
+
+
 def _block_stages_kernel(n_comps, n_ops, *refs):
     in_refs = refs[:n_ops]
     out_refs = refs[n_ops:]
     ops = [r[:, :] for r in in_refs]
-    row = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
-
     s = BLOCK >> 1
-    while s >= _LANES:
-        sr = s // _LANES
-        is_lo = (row & sr) == 0
-        # int32 shift operands: tpu.dynamic_rotate rejects i64 scalars,
-        # and Python ints weaken to i64 when jax_enable_x64 is on
-        partner = [
-            pltpu.roll(o, jnp.int32(_R - sr), axis=0) for o in ops
-        ]  # x[i+s] at lo
-        partner_up = [
-            pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops
-        ]  # x[i-s] at hi
-        other = [
-            jnp.where(is_lo, pdn, pup)
-            for pdn, pup in zip(partner, partner_up)
-        ]
-        gt_lo = _lex_gt(ops, other, n_comps)  # at lo slots: x > x[i+s]
-        lt_hi = _lex_gt(other, ops, n_comps)  # at hi slots: x[i-s] > x
-        # boolean select via logic ops (Mosaic lacks i1-valued select_n)
-        take_other = (is_lo & gt_lo) | (~is_lo & lt_hi)
-        ops = [jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)]
-        s >>= 1
     while s >= 1:
-        is_lo = (col & s) == 0
-        partner = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
-        partner_up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
-        other = [
-            jnp.where(is_lo, pdn, pup)
-            for pdn, pup in zip(partner, partner_up)
-        ]
-        gt_lo = _lex_gt(ops, other, n_comps)
-        lt_hi = _lex_gt(other, ops, n_comps)
-        take_other = (is_lo & gt_lo) | (~is_lo & lt_hi)
-        ops = [jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)]
+        ops = _asc_stage(ops, s, n_comps, _R)
         s >>= 1
     for i in range(n_ops):
         out_refs[i][:, :] = ops[i]
@@ -223,25 +231,26 @@ def _merge_partition(ops_a, ops_b, n_comps, nt):
     """Merge-path split points: a_off[i] = number of A elements among the
     first i*BLOCK merged outputs (A wins ties). Binary search on the
     monotone predicate B[t-a-1] < A[a]; by the bounds a in
-    [max(0, t-nb), min(t, na)) both probes are always in range."""
-    na = ops_a[0].shape[0]
-    nb = ops_b[0].shape[0]
+    [max(0, t-nb), min(t, na)) both probes are always in range.
+
+    STATICALLY UNROLLED: the search needs at most bit_length(max range)
+    steps, known at trace time. A ``lax.while_loop`` here measured ~10 ms
+    at the production shape (the loop's tiny 100-lane iterations pay
+    per-iteration overhead that dwarfs the whole merge kernel); the
+    unrolled steps fuse into one elementwise program. Converged lanes
+    are guarded idempotent."""
+    na = int(ops_a[0].shape[0])
+    nb = int(ops_b[0].shape[0])
     t = jnp.arange(nt, dtype=jnp.int32) * jnp.int32(BLOCK)
     lo = jnp.maximum(0, t - nb)
     hi = jnp.minimum(t, na)
 
-    def body(lohi):
-        lo, hi = lohi
+    for _ in range(max(min(na, nb), 1).bit_length()):
         mid = (lo + hi) >> 1
         q = _lex_lt_at(ops_b, ops_a, t - mid - 1, mid, n_comps, nb, na)
         act = lo < hi
         hi = jnp.where(act & q, mid, hi)
         lo = jnp.where(act & ~q, mid + 1, lo)
-        return lo, hi
-
-    lo, hi = jax.lax.while_loop(
-        lambda lh: jnp.any(lh[0] < lh[1]), body, (lo, hi)
-    )
     return lo
 
 
@@ -255,23 +264,9 @@ def _shift_flat(x, d, rows):
 
 def _roll_stage_rows(ops, s, n_comps, rows):
     """One ascending half-cleaner stage (element distance s, power of two)
-    over [rows, 128] operand tiles."""
-    if s >= _LANES:
-        sr = s // _LANES
-        row = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 0)
-        is_lo = (row & sr) == 0
-        down = [pltpu.roll(o, jnp.int32(rows - sr), axis=0) for o in ops]
-        up = [pltpu.roll(o, jnp.int32(sr), axis=0) for o in ops]
-    else:
-        col = jax.lax.broadcasted_iota(jnp.int32, ops[0].shape, 1)
-        is_lo = (col & s) == 0
-        down = [pltpu.roll(o, jnp.int32(_LANES - s), axis=1) for o in ops]
-        up = [pltpu.roll(o, jnp.int32(s), axis=1) for o in ops]
-    other = [jnp.where(is_lo, d, u) for d, u in zip(down, up)]
-    gt_lo = _lex_gt(ops, other, n_comps)
-    lt_hi = _lex_gt(other, ops, n_comps)
-    take_other = (is_lo & gt_lo) | (~is_lo & lt_hi)
-    return [jnp.where(take_other, o2, o1) for o1, o2 in zip(ops, other)]
+    over [rows, 128] operand tiles -- see :func:`_asc_stage` (single
+    lexicographic compare per stage)."""
+    return _asc_stage(ops, s, n_comps, rows)
 
 
 def _merge_path_kernel(n_comps, n_ops, aoff_ref, nb_ref, *refs):

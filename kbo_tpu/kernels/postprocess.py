@@ -115,7 +115,7 @@ def _shift_up(x, s: int, fill):
     )
 
 
-def _suffix_scan(elems):
+def _suffix_scan_flat(elems):
     """Inclusive right-to-left composition scan via Hillis-Steele doubling.
 
     out[i] = f_i o f_{i+1} o ... o f_{L-1} in ceil(log2(L)) compose steps,
@@ -135,6 +135,58 @@ def _suffix_scan(elems):
         x = _compose(x, shifted)
         s <<= 1
     return x
+
+
+_SCAN_BLOCK = 1024
+
+
+def _suffix_scan(elems):
+    """Two-level suffix scan: within-block doubling + a block-total scan +
+    one broadcast combine.
+
+    The flat doubling pays ceil(log2(L)) full-length compose passes
+    (23 at 4.6M); splitting into S-element blocks pays log2(S) full-length
+    passes, a tiny block-level scan, and one combine -- 11 + 1 passes at
+    S=1024, measured ~2x on the postprocess derandomize stage. The tail
+    pads with identity elements, which compose neutrally on the right.
+    """
+    L = elems[0].shape[0]
+    if L <= 4 * _SCAN_BLOCK:
+        return _suffix_scan_flat(elems)
+    S = _SCAN_BLOCK
+    B = -(-L // S)
+    pad = B * S - L
+    x = tuple(
+        jnp.concatenate([a, jnp.full((pad,), f, a.dtype)]).reshape(B, S)
+        for a, f in zip(elems, _IDENT)
+    )
+    s = 1
+    while s < S:
+        shifted = tuple(
+            jnp.concatenate(
+                [a[:, s:], jnp.full((B, s), f, a.dtype)], axis=1
+            )
+            for a, f in zip(x, _IDENT)
+        )
+        x = _compose(x, shifted)
+        s <<= 1
+    # block totals = within[:, 0]; exclusive suffix over blocks
+    tot = tuple(a[:, 0] for a in x)
+    tot_x = tuple(
+        jnp.concatenate([a[1:], jnp.full((1,), f, a.dtype)])
+        for a, f in zip(tot, _IDENT)
+    )
+    s = 1
+    while s < B:
+        shifted = tuple(
+            jnp.concatenate([a[s:], jnp.full((s,), f, a.dtype)])
+            for a, f in zip(tot_x, _IDENT)
+        )
+        tot_x = _compose(tot_x, shifted)
+        s <<= 1
+    suf = tuple(a[:, None] for a in tot_x)
+    out = _compose(x, suf)
+    return tuple(a.reshape(B * S)[:L] for a in out)
 
 
 derandomize_kernel = jax.jit(derandomize_core)
