@@ -309,3 +309,96 @@ def rle_segments_core(chars, lengths, cap: int):
 
 
 rle_segments = jax.jit(rle_segments_core, static_argnames=("cap",))
+
+
+def _compact_capped_flat(mask, cap: int):
+    """First ``cap`` set positions of a flat mask, ascending, padded with
+    0x7FFFFFFF: cumsum + cap-many binary searches (the same
+    sparse-output compaction as kernels.mapsweep._compact_mask_capped,
+    duplicated here to avoid an import cycle)."""
+    big = jnp.int32(0x7FFFFFFF)
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.searchsorted(cs, j + 1, side="left").astype(jnp.int32)
+    valid = j < cs[-1]
+    return jnp.where(valid, jnp.minimum(pos, mask.shape[0] - 1), big)
+
+
+def rle_segments_global_core(chars, lengths, cap_total: int):
+    """Batch-GLOBAL RLE segment extraction: per-row segment counts plus
+    ONE dense segment table shared by all rows.
+
+    The per-row format (:func:`rle_segments_core`) fetches
+    ``Q * (1 + 5*cap)`` int32 with ``cap`` sized for the worst row --
+    ~740 KB for a 512 x 4096 serving batch whose true segment count is
+    ~600 (most rows align in one run). Through a remote host link that
+    fetch IS the serving bottleneck. Here the compacted segments of all
+    rows share one [5, cap_total] table in row-major order (rows are
+    scanned in ascending flat position, so each row's segments are the
+    next ``counts[q]`` entries), and the fetch is
+    ``1 + Q + 5*cap_total`` int32 -- ~15 KB for the same batch.
+
+    Returns one flat int32 vector: [total, counts[Q],
+    start/end/matches/mismatches/jumps x cap_total] with starts/ends
+    row-local and half-open, exactly the per-row kernel's semantics.
+    ``total`` > cap_total signals overflow (the caller retries bigger).
+    """
+    Q, L = chars.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_len = idx < lengths[:, None]
+    is_gap = (chars == jnp.uint8(ord("-"))) | (chars == jnp.uint8(ord(" ")))
+    mask = in_len & ~is_gap
+    prev_mask = jnp.concatenate(
+        [jnp.zeros((Q, 1), bool), mask[:, :-1]], axis=1
+    )
+    next_mask = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((Q, 1), bool)], axis=1
+    )
+    seg_start = mask & ~prev_mask
+    seg_end = mask & ~next_mask
+    aligned = (
+        (chars == jnp.uint8(ord("M")))
+        | (chars == jnp.uint8(ord("R")))
+        | (chars == jnp.uint8(ord("I")))
+    )
+    prev_r = jnp.concatenate(
+        [jnp.zeros((Q, 1), bool), chars[:, :-1] == jnp.uint8(ord("R"))],
+        axis=1,
+    )
+    jump = mask & (chars == jnp.uint8(ord("R"))) & prev_r
+    cm = jnp.cumsum((mask & aligned).astype(jnp.int32), axis=1)
+    cx = jnp.cumsum((mask & ~aligned).astype(jnp.int32), axis=1)
+    cj = jnp.cumsum(jump.astype(jnp.int32), axis=1)
+    counts = jnp.sum(seg_start, axis=1, dtype=jnp.int32)
+    total = jnp.sum(counts)
+
+    fs = _compact_capped_flat(seg_start.reshape(-1), cap_total)
+    fe = _compact_capped_flat(seg_end.reshape(-1), cap_total)
+    valid = fs < jnp.int32(0x7FFFFFFF)
+    fs_c = jnp.where(valid, fs, 0)
+    fe_c = jnp.where(valid, fe, 0)
+    # starts and ends pair 1:1 in flat order (within a row they strictly
+    # interleave start <= end < next start; rows concatenate in order)
+    q = fs_c // jnp.int32(L)
+    sl = fs_c - q * jnp.int32(L)
+    el = fe_c - q * jnp.int32(L)
+    cmf, cxf, cjf = cm.reshape(-1), cx.reshape(-1), cj.reshape(-1)
+    base_ok = sl > 0
+    at_prev = jnp.maximum(fs_c - 1, 0)
+    bm = jnp.where(base_ok, cmf[at_prev], 0)
+    bx = jnp.where(base_ok, cxf[at_prev], 0)
+    bj = jnp.where(base_ok, cjf[at_prev], 0)
+    big = jnp.int32(0x7FFFFFFF)
+    rows = [
+        jnp.where(valid, sl, big),
+        jnp.where(valid, el + 1, big),
+        jnp.where(valid, cmf[fe_c] - bm, 0),
+        jnp.where(valid, cxf[fe_c] - bx, 0),
+        jnp.where(valid, cjf[fe_c] - bj, 0),
+    ]
+    return jnp.concatenate([total[None], counts] + rows)
+
+
+rle_segments_global = jax.jit(
+    rle_segments_global_core, static_argnames=("cap_total",)
+)

@@ -120,6 +120,24 @@ def _sharded_rle(chars, lengths, cap: int, mesh):
     return fn(chars, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("cap_total", "mesh"))
+def _sharded_rle_global(chars, lengths, cap_total: int, mesh):
+    """Per-shard GLOBAL segment tables (kernels.postprocess
+    rle_segments_global_core): each shard emits one flat
+    [1 + Qs + 5*cap_total] vector; the data-axis concat of those is the
+    whole fetch."""
+    from kbo_tpu.kernels.postprocess import rle_segments_global_core
+
+    fn = jax.shard_map(
+        lambda c, le: rle_segments_global_core(c, le, cap_total)[None, :],
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(chars, lengths)
+
+
 def find_rle_batch_sharded(
     index: SbwtIndex,
     code_list: list[np.ndarray],
@@ -146,28 +164,62 @@ def find_rle_batch_sharded(
         lengths = np.pad(lengths, (0, Qp - Q))
 
     from kbo_tpu.engine import device_index
-    from kbo_tpu.pipeline import _bucket, _rle_structs
+    from kbo_tpu.pipeline import (
+        _bucket,
+        decode_packed_codes_device,
+        pack_codes_host,
+    )
 
     dev = device_index(index)
+    lengths_dev = put_global(mesh, P("data"), lengths)
+    # 2-bit-packed query upload: the raw [Q, L] batch is the serving
+    # path's dominant transfer through a remote host link (2 MB for
+    # 512 x 4096 vs the ~10 KB segment fetch); clean ACGT batches ship
+    # packed and decode on their shards (elementwise: sharding follows)
+    import os
+
+    packed = (
+        pack_codes_host(codes, lengths)
+        if os.environ.get("KBO_TPU_PACK_QUERIES", "1") != "0"
+        else None
+    )
+    if packed is not None:
+        codes_dev = jax.device_put(
+            decode_packed_codes_device(
+                put_global(mesh, P("data"), packed), lengths_dev
+            ),
+            NamedSharding(mesh, P("data")),
+        )
+    else:
+        codes_dev = put_global(mesh, P("data"), codes)
     chars, _ms = _sharded_matches(
         put_global(mesh, P(), dev.keys2),
         put_global(mesh, P(), dev.cap2),
-        put_global(mesh, P("data"), codes),
-        put_global(mesh, P("data"), lengths),
+        codes_dev,
+        lengths_dev,
         dev.k,
         jnp.int32(threshold),
         mesh,
     )
-    lengths_dev = put_global(mesh, P("data"), lengths)
-    cap = _bucket(max(64, min(L // 64 + 1, 1024)), lo=64)
+    q_per = Qp // n
+    cap = _bucket(max(128, 2 * q_per), lo=128)
     while True:
         from kbo_tpu.parallel.distributed import gather_to_host
+        from kbo_tpu.pipeline import _rle_structs_global
 
-        packed = gather_to_host(_sharded_rle(chars, lengths_dev, cap, mesh))
-        out = _rle_structs(packed, cap, code_list)
-        if out is not None:
-            return out
-        cap = min(cap * 4, (L + 1) // 2 + 1)
+        blocks = gather_to_host(
+            _sharded_rle_global(chars, lengths_dev, cap, mesh)
+        )
+        rows: list | None = []
+        for s in range(n):
+            part = _rle_structs_global(blocks[s], q_per, cap)
+            if part is None:
+                rows = None
+                break
+            rows.extend(part)
+        if rows is not None:
+            return rows[: len(code_list)]
+        cap = min(cap * 4, q_per * ((L + 1) // 2 + 1))
 
 
 def matches_long_sharded(

@@ -80,6 +80,43 @@ def pad_batch(code_list: list[np.ndarray], L: int | None = None, bucket=False):
     return codes, lengths
 
 
+def pack_codes_host(codes: np.ndarray, lengths) -> np.ndarray | None:
+    """2-bit pack a clean [Q, L] code batch (4 bases/byte, little-endian
+    nibble order like kernels.mapsweep.pack_ascii_host): the serving
+    path's query upload drops to 1/4 of the raw bytes, which through the
+    relay is the difference between an upload-bound and a compute-bound
+    batch (BASELINE.md round-5 scaling). Returns None when any in-length
+    code is outside 1..4 (N runs, '$') or L % 4 != 0 -- the caller keeps
+    the raw upload; the exceptional batch costs bandwidth, not
+    correctness. Tail padding needs no exception list: the device decode
+    reconstructs INVALID beyond each row's length."""
+    Q, L = codes.shape
+    if L % 4:
+        return None
+    lens = np.asarray(lengths)[:Q]
+    in_len = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
+    if (in_len & ((codes < 1) | (codes > 4))).any():
+        return None
+    v = (
+        np.where(in_len, codes, 1).astype(np.uint8) - np.uint8(1)
+    ).reshape(Q, L // 4, 4).view(np.uint32)[..., 0] & np.uint32(0x03030303)
+    return ((v | (v >> 6) | (v >> 12) | (v >> 18)) & 0xFF).astype(np.uint8)
+
+
+@jax.jit
+def decode_packed_codes_device(packed4, lengths):
+    """Device twin of :func:`pack_codes_host`: exact [Q, L] codes (1..4
+    in length, INVALID beyond)."""
+    Q, Lp = packed4.shape
+    L = Lp * 4
+    parts = [
+        ((packed4 >> jnp.uint8(2 * j)) & jnp.uint8(3)) for j in range(4)
+    ]
+    u2 = jnp.stack(parts, axis=-1).reshape(Q, L) + jnp.uint8(1)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(idx < lengths[:, None], u2, jnp.uint8(INVALID))
+
+
 def matches_ms_batch(
     index: SbwtIndex, code_list: list[np.ndarray], threshold: int
 ):
@@ -198,22 +235,52 @@ def _rle_structs(packed: np.ndarray, cap: int, code_list):
     return out
 
 
+def _rle_structs_global(vec: np.ndarray, q_rows: int, cap_total: int):
+    """Flat [1 + q_rows + 5*cap_total] int32 (kernels.postprocess
+    rle_segments_global_core) -> per-row RLE lists, or None when the
+    shared table overflowed ``cap_total``."""
+    from kbo_tpu.ops.format import RLE
+
+    total = int(vec[0])
+    if total > cap_total:
+        return None
+    counts = vec[1 : 1 + q_rows]
+    cols = vec[1 + q_rows :].reshape(5, cap_total)
+    out = []
+    off = 0
+    for q in range(q_rows):
+        cnt = int(counts[q])
+        out.append(
+            [
+                RLE(
+                    start=int(cols[0, off + s]),
+                    end=int(cols[1, off + s]),
+                    matches=int(cols[2, off + s]),
+                    mismatches=int(cols[3, off + s]),
+                    jumps=int(cols[4, off + s]),
+                )
+                for s in range(cnt)
+            ]
+        )
+        off += cnt
+    return out
+
+
 def _rle_from_device_chars(chars_dev, lengths, code_list):
-    """Device chars [Q, L] -> RLE lists via the device segmentation kernel
-    (capacity-doubling retry; only the compact table is ever fetched)."""
-    from kbo_tpu.kernels.postprocess import rle_segments
+    """Device chars [Q, L] -> RLE lists via the GLOBAL device segmentation
+    kernel: one flat counts+table fetch sized by the true total segment
+    count, not Q x worst-row (capacity-quadrupling retry)."""
+    from kbo_tpu.kernels.postprocess import rle_segments_global
 
     Q, L = chars_dev.shape
-    # start small (segments are few unless the alignment is gap-torn);
-    # the retry loop quadruples on overflow
-    cap = _bucket(max(64, min(L // 64 + 1, 1024)), lo=64)
+    cap = _bucket(max(128, 2 * Q), lo=128)
     lengths_dev = jnp.asarray(lengths)
     while True:
-        packed = np.asarray(rle_segments(chars_dev, lengths_dev, cap))
-        out = _rle_structs(packed, cap, code_list)
+        vec = np.asarray(rle_segments_global(chars_dev, lengths_dev, cap))
+        out = _rle_structs_global(vec, Q, cap)
         if out is not None:
             return out
-        cap = min(cap * 4, (L + 1) // 2 + 1)
+        cap = min(cap * 4, Q * ((L + 1) // 2 + 1))
 
 
 def find_rle_batch(

@@ -202,6 +202,16 @@ def test_find_rle_sharded_parity():
     assert single == sharded
     assert any(len(r) > 1 for r in single)
 
+    # an N-containing query defeats the 2-bit packed upload
+    # (pipeline.pack_codes_host returns None) -- the raw-upload fallback
+    # must produce the identical structs
+    withn = bytearray(ref[500:900])
+    withn[50:60] = b"N" * 10
+    queries_n = queries + [encode_ascii(bytes(withn))]
+    assert find_rle_batch(sbwt, queries_n, t) == find_rle_batch_sharded(
+        sbwt, queries_n, t, mesh=mesh8
+    )
+
     # and the api wiring: find_batch(mesh=...) takes this path
     raw = BASES[queries[0] - 1].tobytes()  # decode codes -> ASCII
     via_api = api.find_batch([raw], sbwt, FindOpts(), mesh=mesh8)
