@@ -77,8 +77,15 @@ _CHUNK_ASCII = np.asarray(
 
 
 def _chunk_ascii(x):
-    """LUT gather chunk code -> ASCII (the numpy table inlines per trace)."""
-    return jnp.asarray(_CHUNK_ASCII)[x]
+    """Chunk code (0..7) -> ASCII as five branchless selects: a real
+    gather here runs over the kernels' LARGEST intermediates (score_gaps'
+    [G, w, k] candidate k-mers are ~6M elements at the 4.6M benchmark)
+    and gather volume is what TPU pays for; the select chain is pure VPU.
+    Semantics identical to the _CHUNK_ASCII table."""
+    out = jnp.where(x == 0, jnp.uint8(ord("$")), jnp.uint8(0))
+    for b, ch in enumerate(b"ACGT"):
+        out = jnp.where(x == b + 1, jnp.uint8(ch), out)
+    return out
 
 
 def max_tag(k: int) -> int:
@@ -957,11 +964,16 @@ def score_gaps_core(
     lane_valid = fc < GC
     fci = jnp.minimum(fc, GC - 1)
     lane_g = fci // jnp.int32(w)
-    lane_km = km.reshape(GC, k)[fci]
+    # re-unpack the lane k-mers from the key table (W gathers of cap_ext
+    # each) instead of row-gathering km [cap_ext, k] out of the [G*w*k]
+    # candidate stack -- the ext stage's gather volume dominated
+    # score_gaps (measured 36 ms of a 59 ms kernel at 4.6M; per-element
+    # gathers are what TPU pays for)
+    lane_row = rows[fci]
+    lane_km = unpack_rows3(keys3, lane_row, k, axis)
     lane_bud = jnp.where(lane_valid, bud.reshape(-1)[fci], 0)
     if ext_tab is not None:
         # precomputed canonical chains: the whole extension is W+1 gathers
-        lane_row = rows[fci]
         exts, ext_len = ext_from_table(
             ext_tab[0], ext_tab[1], lane_row, lane_km, lane_bud, k
         )
@@ -971,21 +983,22 @@ def score_gaps_core(
             keys3, lane_km, lane_bud, k, axis, tbl
         )
     # leading match of the extended string vs ref from the gap's left
-    # flank (host: _score_candidates phase D)
+    # flank (host: _score_candidates phase D). The ref window is gathered
+    # ONCE PER GAP ([G, 2k]) and lanes row-gather their gap's window --
+    # up to w lanes share a gap, so the per-element gather volume drops
+    # w-fold vs per-lane flat gathers
     i2k = jnp.arange(2 * k, dtype=jnp.int32)
-    lane_rsp = rsp[lane_g]
-    lane_nq = n_q[lane_g]
-    lane_qof = q_of[lane_g]
-    pos_l = lane_rsp[:, None] + i2k[None, :]
-    avail = (i2k[None, :] < ext_len[:, None]) & (pos_l < lane_nq[:, None])
-    ref_l = jnp.where(
-        avail,
+    gwin_pos = rsp[:, None] + i2k[None, :]
+    gwin = jnp.where(
+        gwin_pos < n_q[:, None],
         ref_flat[
-            lane_qof[:, None] * jnp.int32(L)
-            + jnp.minimum(pos_l, jnp.int32(L - 1))
+            q_of[:, None] * jnp.int32(L)
+            + jnp.minimum(gwin_pos, jnp.int32(L - 1))
         ],
         _OOB,
     )
+    ref_l = gwin[lane_g]
+    avail = (i2k[None, :] < ext_len[:, None]) & (ref_l != _OOB)
     ext_ascii = _chunk_ascii(exts)
     lane_lm = _leading_run(avail & (ext_ascii == ref_l))
     lane_ok = lane_valid & (lane_lm >= lreq)
