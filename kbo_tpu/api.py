@@ -635,10 +635,12 @@ def _map_batch_sparse(
                     from kbo_tpu.kernels.mapsweep import (
                         upload_sweep_chunked_pipelined,
                     )
+                    from kbo_tpu.kernels.ms import get_rows_merge_streams
 
                     pipelined = upload_sweep_chunked_pipelined(
                         dev.keys3, dev.lcs3, ref_mat, lengths, k, chunk,
                         want_qtable=want_qt,
+                        a_streams=get_rows_merge_streams(dev),
                     )
                 if pipelined is not None:
                     (
@@ -669,6 +671,9 @@ def _map_batch_sparse(
             # retry below reuses its device outputs and re-runs only the
             # postprocess stage
             if ms_dev is None:
+                from kbo_tpu.kernels.ms import get_rows_merge_streams
+
+                streams = get_rows_merge_streams(dev)
                 if use_chunked:
                     from kbo_tpu.kernels.mapsweep import (
                         ms3_rows_sweep_chunked,
@@ -676,12 +681,12 @@ def _map_batch_sparse(
 
                     out_sweep = ms3_rows_sweep_chunked(
                         dev.keys3, dev.lcs3, codes_dev, k, chunk,
-                        want_qtable=want_qt,
+                        want_qtable=want_qt, a_streams=streams,
                     )
                 else:
                     out_sweep = ms3_rows_sweep(
                         dev.keys3, dev.lcs3, codes_dev, k,
-                        want_qtable=want_qt,
+                        want_qtable=want_qt, a_streams=streams,
                     )
                 ms_dev, uniq_dev, rows_dev = out_sweep[:3]
                 if want_qt:

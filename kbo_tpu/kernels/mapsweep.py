@@ -333,7 +333,8 @@ def fetch_candidates(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "want_qtable"))
-def ms3_rows_sweep(keys3, lcs3, codes, k: int, want_qtable: bool = False):
+def ms3_rows_sweep(keys3, lcs3, codes, k: int, want_qtable: bool = False,
+                  a_streams=None):
     """Stage 1 of the fused map sweep: the 3-bit join over a [Q, L] batch,
     emitting device-resident per-position (ms, uniq, row). Split from the
     postprocess stage (:func:`map_postprocess3`) because XLA:TPU compile
@@ -350,7 +351,7 @@ def ms3_rows_sweep(keys3, lcs3, codes, k: int, want_qtable: bool = False):
     pad = jnp.full((Q, k - 1), INVALID, jnp.uint8)
     buf = jnp.concatenate([pad, codes], axis=1).reshape(-1)
     stride = L + k - 1
-    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable)
+    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable, a_streams)
     ms_f, uniq_f, row_f = out[:3]
     ms = ms_f.reshape(Q, stride)[:, k - 1 :]
     uniq = uniq_f.reshape(Q, stride)[:, k - 1 :]
@@ -361,7 +362,7 @@ def ms3_rows_sweep(keys3, lcs3, codes, k: int, want_qtable: bool = False):
 
 
 def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int,
-                           want_qtable: bool = False):
+                           want_qtable: bool = False, a_streams=None):
     """Sequence-chunked stage 1: the same (ms, uniq, row) outputs from
     fixed-shape sub-dispatches of ``chunk`` positions each.
 
@@ -402,7 +403,7 @@ def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int,
             _ms3_rows_chunk(
                 keys3, lcs3,
                 jnp.concatenate([ctx, codes[:, lo : lo + chunk]], axis=1),
-                k, want_qtable,
+                k, want_qtable, a_streams,
             )
         )
     ms = jnp.concatenate([p[0] for p in parts], axis=1)[:, :L]
@@ -414,7 +415,8 @@ def ms3_rows_sweep_chunked(keys3, lcs3, codes, k: int, chunk: int,
 
 
 def upload_sweep_chunked_pipelined(keys3, lcs3, ref_mat, lengths, k: int,
-                                   chunk: int, want_qtable: bool = False):
+                                   chunk: int, want_qtable: bool = False,
+                                   a_streams=None):
     """Chunked stage 1 with the UPLOAD chunked too: pack + ship chunk c+1
     while the device sweeps chunk c.
 
@@ -462,7 +464,7 @@ def upload_sweep_chunked_pipelined(keys3, lcs3, ref_mat, lengths, k: int,
         sweeps.append(
             _ms3_rows_chunk(
                 keys3, lcs3, jnp.concatenate([ctx, c_dev], axis=1), k,
-                want_qtable,
+                want_qtable, a_streams,
             )
         )
     ref_mat_dev = jnp.concatenate(ref_parts, axis=1)[:, :L]
@@ -476,7 +478,7 @@ def upload_sweep_chunked_pipelined(keys3, lcs3, ref_mat, lengths, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "want_qtable"))
 def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int,
-                    want_qtable: bool = False):
+                    want_qtable: bool = False, a_streams=None):
     """One fixed-shape chunk of :func:`ms3_rows_sweep_chunked`:
     ctx_codes = [Q, (k-1) + chunk] (context + chunk positions); returns
     (ms, uniq, rows) for the chunk positions only (the qtable, when
@@ -485,7 +487,7 @@ def _ms3_rows_chunk(keys3, lcs3, ctx_codes, k: int,
 
     Q, W = ctx_codes.shape
     buf = ctx_codes.reshape(-1)
-    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable)
+    out = ms3_rows_core(keys3, lcs3, buf, k, want_qtable, a_streams)
     ms_f, uniq_f, row_f = out[:3]
     ms = ms_f.reshape(Q, W)[:, k - 1 :]
     uniq = uniq_f.reshape(Q, W)[:, k - 1 :]

@@ -492,7 +492,7 @@ def _neighbor_best(
 
 
 def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
-                ref_sorted=True, ref_hi24=None, q_aux=None):
+                ref_sorted=True, ref_hi24=None, q_aux=None, a_streams=None):
     """Shared packed merge + directional clamped-LCP scans.
 
     Packs ref/query slots into the single uint32 payload (see
@@ -541,7 +541,8 @@ def _merge_scan(ref_words, ref_cap, q_words, q_meta, bits: int, common_fn,
             from kbo_tpu.kernels.pallas_sort import merge_path
 
             merged = merge_path(
-                list(ref_words) + [ref_packed], q_ops, n_comps=W
+                list(ref_words) + [ref_packed], q_ops, n_comps=W,
+                a_streams=a_streams,
             )  # tail pads carry 0xFFFFFFFF: non-source, dropped by the
             # back-to-order step
         else:
@@ -637,7 +638,49 @@ def window_limits(buf, k: int):
     return jnp.minimum(jnp.int32(k), idx - last_bad)
 
 
-def _rows_scan_pieces(keys3, lcs3, buf, k: int, want_qtable: bool = False):
+def build_rows_merge_streams_core(keys3, lcs3, k: int):
+    """Precompute the merge-path A-side streams of the rows join: the ref
+    operand list is (keys3 words, packed lcs-pair payload) -- all static
+    per index, so the padded row streams the merge kernel DMAs from can
+    be built ONCE instead of inside every sweep dispatch (measured ~10 ms
+    of pure data movement per 2.36M chunk at 4.6M)."""
+    from kbo_tpu.kernels.pallas_sort import build_a_streams
+
+    W = keys3.shape[0]
+    n = keys3.shape[1]
+    lcs_up = jnp.concatenate([lcs3[1:], jnp.zeros((1,), lcs3.dtype)])
+    ref_hi24 = lcs3.astype(jnp.uint32) | (lcs_up.astype(jnp.uint32) << 7)
+    ref_packed = (ref_hi24 << 8) | jnp.uint32(min(k, 254))
+    return tuple(
+        build_a_streams([keys3[w] for w in range(W)] + [ref_packed])
+    )
+
+
+_build_rows_streams_jit = jax.jit(
+    build_rows_merge_streams_core, static_argnames=("k",)
+)
+
+
+def get_rows_merge_streams(dev):
+    """Lazy per-index merge-path A streams (cached on the device index);
+    None off the Pallas-merge path or under KBO_TPU_CACHED_STREAMS=0."""
+    import os
+
+    if (
+        os.environ.get("KBO_TPU_CACHED_STREAMS", "1") == "0"
+        or os.environ.get("KBO_TPU_MERGE_PATH", "1") == "0"
+        or not _use_pallas_merge()
+    ):
+        return None
+    cached = getattr(dev, "_rows_streams", None)
+    if cached is None:
+        cached = _build_rows_streams_jit(dev.keys3, dev.lcs3, dev.k)
+        dev._rows_streams = cached
+    return cached
+
+
+def _rows_scan_pieces(keys3, lcs3, buf, k: int, want_qtable: bool = False,
+                      a_streams=None):
     """Shared merge + scans of the rows join: per merged slot, the
     directional clamped LCPs, the nearest-left row index, and the
     adjacent-row LCS values at the prospective block edges.
@@ -669,11 +712,13 @@ def _rows_scan_pieces(keys3, lcs3, buf, k: int, want_qtable: bool = False):
         sw, spacked, f, b, qtable = _merge_scan(
             ref_words, ref_cap, q_words, meta, 3, _common3,
             ref_hi24=ref_hi24, q_aux=window_limits(buf, k),
+            a_streams=a_streams,
         )
     else:
         qtable = None
         sw, spacked, f, b = _merge_scan(
-            ref_words, ref_cap, q_words, meta, 3, _common3, ref_hi24=ref_hi24
+            ref_words, ref_cap, q_words, meta, 3, _common3,
+            ref_hi24=ref_hi24, a_streams=a_streams,
         )
     is_ref = (spacked & jnp.uint32(0xFF)) != 0xFF
     # nearest reference row on each side (colex index = rank among rows);
@@ -796,7 +841,8 @@ def ms3_rows_from_packed(fpack, bpack, n_rows, k: int):
     return ms, uniq, x
 
 
-def ms3_rows_core(keys3, lcs3, buf, k: int, want_qtable: bool = False):
+def ms3_rows_core(keys3, lcs3, buf, k: int, want_qtable: bool = False,
+                  a_streams=None):
     """(ms, uniq, row) for EVERY buffer position via ONE 3-bit join.
 
     The colex interval of position i's matched suffix (length ms[i]) has
@@ -816,7 +862,7 @@ def ms3_rows_core(keys3, lcs3, buf, k: int, want_qtable: bool = False):
     the map path reuses as its rk-vs-seq join table.
     """
     sw, spacked, is_ref, f, b, xl, near_down, near_up, qtable = (
-        _rows_scan_pieces(keys3, lcs3, buf, k, want_qtable)
+        _rows_scan_pieces(keys3, lcs3, buf, k, want_qtable, a_streams)
     )
     n = keys3.shape[1]
     T = buf.shape[0]

@@ -338,7 +338,20 @@ def _pad_row_stream(x, front: int, back: int):
     return jnp.concatenate(parts).reshape(rows, 128)
 
 
-def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
+def build_a_streams(ops_a):
+    """Precompute the A-side padded row streams of :func:`merge_path`.
+
+    The sort-join's A side is the index key table -- static across every
+    query against that index -- while ``_pad_row_stream`` rebuilds the
+    padded copies (~n * n_ops u32 of pure data movement) inside every
+    merge dispatch. Callers that merge against the same table repeatedly
+    (DeviceIndex caches these) build the streams once and pass them as
+    ``a_streams``."""
+    return [_pad_row_stream(a, 0, BLOCK + 2048) for a in ops_a]
+
+
+def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False,
+               a_streams=None):
     """Merge two sorted operand lists at EXACT size (no power-of-two
     blow-up): output length = ceil((na+nb)/BLOCK)*BLOCK with all-ones
     pads at the tail (they sort last and carry payload 0xFFFFFFFF, the
@@ -351,6 +364,10 @@ def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
     half-cleaner cascade locally. Volume is read 2x + write 1x of the
     real data -- the padded global cascade read/wrote up to 2x MORE
     elements than exist (e.g. 9.4M pads to 16.8M) log-many times.
+
+    ``a_streams`` (from :func:`build_a_streams` over the SAME ops_a)
+    skips the per-call A-side padded-stream build. ``ops_a`` is still
+    required: the merge-path partition binary-searches the raw arrays.
     """
     na = int(ops_a[0].shape[0])
     nb = int(ops_b[0].shape[0])
@@ -364,7 +381,7 @@ def merge_path(ops_a, ops_b, n_comps: int, interpret: bool = False):
     a_off = _merge_partition(ops_a, ops_b, n_comps, nt)
     # A stream: tail pad so any window [a_lo, a_lo + BLOCK) reads +inf
     # beyond na; an extra 128 covers the row-aligned overfetch
-    a2 = [_pad_row_stream(a, 0, BLOCK + 2048) for a in ops_a]
+    a2 = a_streams if a_streams is not None else build_a_streams(ops_a)
     # reversed-B stream, front-padded: window start nb - b_lo >= 0; the
     # front pad covers b_lo + BLOCK > nb (reads +inf), tail slack covers
     # row alignment. NOTE the reversed stream is DESCENDING with +inf
