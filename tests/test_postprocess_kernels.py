@@ -105,3 +105,49 @@ def _lipschitz_ms_fast(rng, L, k):
         out[i] = cur
         cur = int(min(max(cur + steps[i], 0), k))
     return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rle_segments_global_matches_per_row(seed):
+    """The batch-global segment table (one dense row-major table + per-row
+    counts) must reproduce the per-row kernel's segments exactly --
+    including empty rows, all-gap rows, rows ending mid-segment, and
+    varying lengths."""
+    import jax.numpy as jnp
+
+    from kbo_tpu.kernels.postprocess import (
+        rle_segments,
+        rle_segments_global,
+    )
+
+    rng = np.random.default_rng(seed)
+    Q, L = 7, 256
+    alphabet = np.frombuffer(b"MXR- ", np.uint8)
+    chars = alphabet[rng.integers(0, 5, (Q, L))]
+    chars[2, :] = ord("-")          # all-gap row: zero segments
+    chars[3, :] = ord("M")          # one full-row segment
+    lengths = np.asarray([L, 100, 50, L, 0, 1, 37], np.int32)
+
+    cap = 64
+    per_row = np.asarray(
+        rle_segments(jnp.asarray(chars), jnp.asarray(lengths), cap)
+    )
+    cap_total = 512
+    vec = np.asarray(
+        rle_segments_global(
+            jnp.asarray(chars), jnp.asarray(lengths), cap_total
+        )
+    )
+    total = int(vec[0])
+    counts = vec[1 : 1 + Q]
+    cols = vec[1 + Q :].reshape(5, cap_total)
+    assert total == int(counts.sum())
+    off = 0
+    for q in range(Q):
+        cnt_row = int(per_row[q, 0])
+        assert int(counts[q]) == cnt_row
+        pr = per_row[q, 1:].reshape(5, cap)
+        for s in range(cnt_row):
+            for comp in range(5):
+                assert cols[comp, off + s] == pr[comp, s], (q, s, comp)
+        off += cnt_row
